@@ -1,0 +1,194 @@
+"""FutbolEnv — the TPU-native environment API.
+
+The reference exposes the classic OpenAI-Gym class surface
+(``FutbolEnv.reset/step/render`` with ``action_space``/``observation_space``
+— SURVEY.md §2.1 #2). This module provides BOTH:
+
+- the pure-functional core (:func:`reset`, :func:`step`) — the real API,
+  jit/vmap/shard_map-able, everything downstream builds on it;
+- :class:`FutbolEnv`, a thin stateful wrapper with the Gym calling
+  convention for drop-in ergonomics (single env, host-side loop).
+
+STEP ORDER (normative — the C++ oracle replicates this exactly):
+
+    1. split RNG key -> (kick_key, next_key)
+    2. decode actions -> per-body forces               (game.decode_forces)
+    3. resolve possession bids                          (game.update_possession)
+    4. owner pass/shoot -> ball impulse, release        (game.apply_kick)
+    5. physics: substeps x (integrate, solve, move)     (physics.physics_step)
+    6. dribble carry: ball follows owner                (game.apply_dribble)
+    7. goal detection on the post-physics ball          (game.detect_goal)
+    8. out-of-bounds clamp                              (game.clamp_oob)
+    9. shaped rewards (uses pre-step vs post-step, pre-kickoff positions)
+   10. scoring kickoff re-placement where a goal occurred (masked select)
+   11. t += 1; done = t >= max_steps
+   12. observation build
+
+OBSERVATION SPEC (normative): flat float vector, length 4*n_bodies + 2:
+``[x, y, vx, vy]`` per body (ball first), positions normalized by field
+width/height, velocities by max_speed, then ``[team0_owns, team1_owns]``.
+(SURVEY.md §2.1 #9 tags the reference's exact layout [RECALL-M]; this is
+our spec.)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import game
+from .physics import physics_step
+from .spaces import Box, MultiDiscrete
+from .types import EnvParams, EnvState, StepOutput
+
+
+def observe(state: EnvState, params: EnvParams) -> jax.Array:
+    """OBSERVATION SPEC above."""
+    dtype = state.pos.dtype
+    scale_p = jnp.asarray([params.width, params.height], dtype)
+    p = (state.pos / scale_p).reshape(-1)
+    v = (state.vel / jnp.asarray(params.max_speed, dtype)).reshape(-1)
+    ppt = params.players_per_team
+    owner_p = state.possession - 1
+    owns0 = ((state.possession > 0) & (owner_p < ppt)).astype(dtype)
+    owns1 = ((state.possession > 0) & (owner_p >= ppt)).astype(dtype)
+    return jnp.concatenate([p, v, jnp.stack([owns0, owns1])])
+
+
+def obs_size(params: EnvParams) -> int:
+    return 4 * params.n_bodies + 2
+
+
+def reset(
+    key: jax.Array, params: EnvParams, dtype=jnp.float32
+) -> tuple[EnvState, jax.Array]:
+    """Fresh episode (SURVEY.md §3.2). Returns (state, obs)."""
+    k_place, k_state = jax.random.split(key)
+    pos, vel = game.kickoff_positions(k_place, params, dtype)
+    state = EnvState(
+        pos=pos,
+        vel=vel,
+        possession=jnp.asarray(-1, jnp.int32),
+        score=jnp.zeros((2,), jnp.int32),
+        t=jnp.asarray(0, jnp.int32),
+        key=k_state,
+    )
+    return state, observe(state, params)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def step(
+    state: EnvState, actions: jax.Array, params: EnvParams
+) -> tuple[EnvState, StepOutput]:
+    """One environment step (STEP ORDER above). ``actions``: [n_players, 2]
+    int32 per the ACTION SPEC in :mod:`gym_futbol_tpu.game`."""
+    dtype = state.pos.dtype
+    k_kick, k_kickoff, k_next = jax.random.split(state.key, 3)
+    pos_before = state.pos
+
+    # 2-4: intent
+    forces = game.decode_forces(actions, params, dtype)
+    possession = game.update_possession(state.pos, state.possession, actions, params)
+    vel, possession = game.apply_kick(
+        state.pos, state.vel, possession, actions, k_kick, params
+    )
+
+    # 5-6: dynamics
+    pos, vel = physics_step(state.pos, vel, forces, params)
+    pos, vel = game.apply_dribble(pos, vel, possession, actions, params)
+
+    # 7-8: goals and bounds
+    goals = game.detect_goal(pos, params)                    # [2] bool
+    pos, vel, ball_clamped = game.clamp_oob(pos, vel, params)
+
+    # 9: rewards from pre-kickoff positions
+    team_reward = game.shaped_rewards(
+        pos_before, pos, possession, goals, ball_clamped, params
+    )
+
+    # 10: kickoff re-placement where a goal occurred (masked select)
+    any_goal = jnp.any(goals)
+    kick_pos, kick_vel = game.kickoff_positions(k_kickoff, params, dtype)
+    pos = jnp.where(any_goal, kick_pos, pos)
+    vel = jnp.where(any_goal, kick_vel, vel)
+    possession = jnp.where(any_goal, jnp.asarray(-1, jnp.int32), possession)
+    score = state.score + goals.astype(jnp.int32)
+
+    # 11: clock
+    t = state.t + 1
+    done = t >= params.max_steps
+
+    new_state = EnvState(
+        pos=pos, vel=vel, possession=possession, score=score, t=t, key=k_next
+    )
+    obs = observe(new_state, params)
+    out = StepOutput(
+        obs=obs,
+        reward=team_reward[0],
+        team_reward=team_reward,
+        done=done,
+        info={
+            "score": score,
+            "possession": possession,
+            "goal": goals,
+            "ball_oob": ball_clamped,
+            "t": t,
+        },
+    )
+    return new_state, out
+
+
+# ---------------------------------------------------------------------------
+# Gym-style wrapper (single env, host loop)
+# ---------------------------------------------------------------------------
+
+
+class FutbolEnv:
+    """Stateful Gym-convention wrapper over the pure core.
+
+    Mirrors the reference's class surface (SURVEY.md §2.1 #2):
+    ``reset() -> obs``; ``step(a) -> (obs, reward, done, info)``;
+    ``render()``; ``action_space``; ``observation_space``. For throughput
+    use :mod:`gym_futbol_tpu.vector` instead — this wrapper exists for
+    ergonomic parity and debugging.
+    """
+
+    def __init__(self, params: EnvParams | None = None, seed: int = 0,
+                 dtype=jnp.float32):
+        self.params = params or EnvParams()
+        self.dtype = dtype
+        self._key = jax.random.PRNGKey(seed)
+        self._state: EnvState | None = None
+        n_players = self.params.n_players
+        self.action_space = MultiDiscrete([[5, 5]] * n_players)
+        self.observation_space = Box(
+            -jnp.inf, jnp.inf, shape=(obs_size(self.params),), dtype=dtype
+        )
+
+    def seed(self, seed: int) -> None:
+        self._key = jax.random.PRNGKey(seed)
+
+    def reset(self):
+        self._key, k = jax.random.split(self._key)
+        self._state, obs = reset(k, self.params, self.dtype)
+        return obs
+
+    def step(self, actions):
+        if self._state is None:
+            raise RuntimeError("call reset() before step()")
+        actions = jnp.asarray(actions, jnp.int32)
+        self._state, out = step(self._state, actions, self.params)
+        return out.obs, out.reward, bool(out.done), jax.tree.map(
+            lambda x: x, out.info
+        )
+
+    @property
+    def state(self) -> EnvState:
+        return self._state
+
+    def render(self, mode: str = "rgb_array"):
+        from .render import render_state
+
+        return render_state(self._state, self.params, mode=mode)

@@ -1,0 +1,236 @@
+"""PPO learner, fully on-device (BASELINE.json configs 4-5).
+
+The reference's training story is stable-baselines ``PPO2`` over a Python
+rollout loop (SURVEY.md §3.5) — host-bound, single process. Here the whole
+iteration (rollout with lax.scan -> GAE -> minibatched clipped-surrogate
+epochs) is one jittable pure function over the batched env, so it runs as
+a single XLA program per iteration and shards over the ``env`` mesh axis
+(see :mod:`gym_futbol_tpu.parallel`): trajectories stay device-local, the
+only collective is the gradient/metric reduction (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from . import env as env_core
+from .models.policy import ActorCritic, action_log_prob_and_entropy, sample_actions
+from .types import EnvParams, EnvState
+from .vector import step_batch
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    rollout_steps: int = 128
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    lr: float = 3e-4
+    epochs: int = 4
+    minibatches: int = 4
+    vf_coef: float = 0.5
+    ent_coef: float = 0.01
+    max_grad_norm: float = 0.5
+
+
+@struct.dataclass
+class Transition:
+    obs: jax.Array        # [B, obs_dim]
+    action: jax.Array     # [B, n_players, 2]
+    logp: jax.Array       # [B]
+    value: jax.Array      # [B]
+    reward: jax.Array     # [B]
+    done: jax.Array       # [B]
+
+
+@struct.dataclass
+class RunnerState:
+    params: Any
+    opt_state: Any
+    env_state: EnvState   # batched
+    obs: jax.Array        # [B, obs_dim]
+    key: jax.Array
+
+
+def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(cfg.lr),
+    )
+
+
+def collect_rollout(
+    runner: RunnerState, model: ActorCritic, env_params: EnvParams,
+    cfg: PPOConfig,
+) -> tuple[RunnerState, Transition, jax.Array]:
+    """T steps of experience via lax.scan. Returns (runner, traj [T,B,...],
+    bootstrap value [B])."""
+
+    def body(carry, _):
+        env_state, obs, key = carry
+        key, k_act = jax.random.split(key)
+        logits, value = model.apply(runner.params, obs)
+        action, logp = sample_actions(k_act, logits)
+        env_state, out = step_batch(env_state, action, env_params)
+        tr = Transition(
+            obs=obs, action=action, logp=logp, value=value,
+            reward=out.reward, done=out.done,
+        )
+        return (env_state, out.obs, key), tr
+
+    (env_state, obs, key), traj = jax.lax.scan(
+        body, (runner.env_state, runner.obs, runner.key), None,
+        length=cfg.rollout_steps,
+    )
+    _, last_value = model.apply(runner.params, obs)
+    runner = runner.replace(env_state=env_state, obs=obs, key=key)
+    return runner, traj, last_value
+
+
+def compute_gae(
+    traj: Transition, last_value: jax.Array, cfg: PPOConfig
+) -> tuple[jax.Array, jax.Array]:
+    """Generalized advantage estimation (reverse scan). Returns
+    (advantages [T,B], returns [T,B])."""
+    gamma = cfg.gamma
+    lam = cfg.gae_lambda
+
+    def body(carry, tr):
+        gae, next_value = carry
+        nonterminal = 1.0 - tr.done.astype(tr.value.dtype)
+        delta = tr.reward + gamma * next_value * nonterminal - tr.value
+        gae = delta + gamma * lam * nonterminal * gae
+        return (gae, tr.value), gae
+
+    (_, _), adv = jax.lax.scan(
+        body, (jnp.zeros_like(last_value), last_value), traj, reverse=True
+    )
+    return adv, adv + traj.value
+
+
+def ppo_loss(
+    params, model: ActorCritic, batch: Transition, adv: jax.Array,
+    returns: jax.Array, cfg: PPOConfig,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    logits, value = model.apply(params, batch.obs)
+    logp, entropy = action_log_prob_and_entropy(logits, batch.action)
+    ratio = jnp.exp(logp - batch.logp)
+
+    norm_adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+    pg1 = ratio * norm_adv
+    pg2 = jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps) * norm_adv
+    pg_loss = -jnp.minimum(pg1, pg2).mean()
+
+    v_clipped = batch.value + jnp.clip(
+        value - batch.value, -cfg.clip_eps, cfg.clip_eps
+    )
+    v_loss = 0.5 * jnp.maximum(
+        (value - returns) ** 2, (v_clipped - returns) ** 2
+    ).mean()
+    ent = entropy.mean()
+
+    total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+    metrics = {
+        "loss": total,
+        "pg_loss": pg_loss,
+        "v_loss": v_loss,
+        "entropy": ent,
+        "approx_kl": ((ratio - 1) - jnp.log(ratio)).mean(),
+    }
+    return total, metrics
+
+
+def update_epochs(
+    params, opt_state, traj: Transition, adv, returns,
+    key: jax.Array, model: ActorCritic, tx, cfg: PPOConfig,
+    axis_name: str | None = None,
+):
+    """cfg.epochs x cfg.minibatches SGD steps over the flattened buffer.
+
+    When ``axis_name`` is set (shard_map path), gradients and metrics are
+    pmean'd across that mesh axis — the one collective on the training
+    path (SURVEY.md §2.3).
+    """
+    t, b = traj.reward.shape
+    n = t * b
+    flat = jax.tree.map(lambda x: x.reshape((n,) + x.shape[2:]), traj)
+    flat_adv = adv.reshape(n)
+    flat_ret = returns.reshape(n)
+    mb_size = n // cfg.minibatches
+
+    def epoch(carry, k):
+        params, opt_state = carry
+        perm = jax.random.permutation(k, n)
+
+        def minibatch(carry, idx):
+            params, opt_state = carry
+            take = lambda x: jnp.take(x, idx, axis=0)
+            mb = jax.tree.map(take, flat)
+            grads, metrics = jax.grad(ppo_loss, has_aux=True)(
+                params, model, mb, take(flat_adv), take(flat_ret), cfg
+            )
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+                metrics = jax.lax.pmean(metrics, axis_name)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), metrics
+
+        idxs = perm[: cfg.minibatches * mb_size].reshape(cfg.minibatches, mb_size)
+        (params, opt_state), metrics = jax.lax.scan(
+            minibatch, (params, opt_state), idxs
+        )
+        return (params, opt_state), metrics
+
+    keys = jax.random.split(key, cfg.epochs)
+    (params, opt_state), metrics = jax.lax.scan(
+        epoch, (params, opt_state), keys
+    )
+    return params, opt_state, jax.tree.map(lambda m: m.mean(), metrics)
+
+
+def train_iteration(
+    runner: RunnerState, model: ActorCritic, env_params: EnvParams,
+    cfg: PPOConfig, tx, axis_name: str | None = None,
+) -> tuple[RunnerState, dict[str, jax.Array]]:
+    """One full PPO iteration: rollout -> GAE -> epochs of updates.
+
+    Pure and jittable; this is the unit that gets jit'd/shard_map'd by
+    :mod:`gym_futbol_tpu.parallel` and by ``train.py``.
+    """
+    runner, traj, last_value = collect_rollout(runner, model, env_params, cfg)
+    adv, returns = compute_gae(traj, last_value, cfg)
+    key, k_update = jax.random.split(runner.key)
+    params, opt_state, metrics = update_epochs(
+        runner.params, runner.opt_state, traj, adv, returns, k_update,
+        model, tx, cfg, axis_name,
+    )
+    metrics["mean_reward"] = traj.reward.mean()
+    if axis_name is not None:
+        metrics["mean_reward"] = jax.lax.pmean(metrics["mean_reward"], axis_name)
+    runner = runner.replace(params=params, opt_state=opt_state, key=key)
+    return runner, metrics
+
+
+def init_runner(
+    key: jax.Array, model: ActorCritic, env_params: EnvParams,
+    cfg: PPOConfig, n_envs: int, tx,
+) -> RunnerState:
+    from .vector import reset_batch
+
+    k_params, k_env, k_run = jax.random.split(key, 3)
+    dummy = jnp.zeros((1, env_core.obs_size(env_params)), model.dtype)
+    params = model.init(k_params, dummy)
+    opt_state = tx.init(params)
+    env_state, obs = reset_batch(k_env, env_params, n_envs)
+    return RunnerState(
+        params=params, opt_state=opt_state, env_state=env_state, obs=obs,
+        key=k_run,
+    )
