@@ -1,0 +1,11 @@
+from .mesh import env_sharding, make_mesh, replicated_sharding
+from .rollout import shard_rollout, shard_train_iteration, shard_env_state
+
+__all__ = [
+    "make_mesh",
+    "env_sharding",
+    "replicated_sharding",
+    "shard_rollout",
+    "shard_train_iteration",
+    "shard_env_state",
+]

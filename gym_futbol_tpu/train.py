@@ -1,0 +1,113 @@
+"""Training CLI: sharded PPO on FutbolEnv (BASELINE configs 4-5 shape).
+
+The reference's training entry is a script calling stable-baselines
+``PPO2(...).learn()`` over a Python rollout loop (SURVEY.md §3.5). Ours
+runs the whole iteration on-device, envs sharded over the 'env' mesh:
+
+    python -m gym_futbol_tpu.train --ppt 3 --envs 16384 --iters 100
+
+Multi-host: launch one process per host with the usual JAX env vars; the
+mesh spans all processes' devices (gym_futbol_tpu.parallel.mesh).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ppt", type=int, default=2, help="players per team")
+    ap.add_argument("--envs", type=int, default=4096)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--rollout-steps", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--minibatches", type=int, default=4)
+    ap.add_argument("--hidden", type=int, nargs="+", default=[256, 256])
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-steps", type=int, default=300)
+    ap.add_argument("--checkpoint-dir", type=str, default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=25)
+    ap.add_argument("--log-every", type=int, default=1)
+    ap.add_argument("--distributed", action="store_true",
+                    help="call jax.distributed.initialize() (multi-host)")
+    args = ap.parse_args()
+
+    import jax
+
+    from .models.policy import ActorCritic
+    from .parallel import make_mesh, shard_env_state, shard_train_iteration
+    from .parallel.mesh import init_distributed
+    from .ppo import PPOConfig, init_runner, make_optimizer
+    from .types import EnvParams
+
+    if args.distributed:
+        init_distributed()
+
+    env_params = EnvParams(players_per_team=args.ppt, max_steps=args.max_steps)
+    cfg = PPOConfig(
+        rollout_steps=args.rollout_steps, lr=args.lr, epochs=args.epochs,
+        minibatches=args.minibatches,
+    )
+    model = ActorCritic(
+        n_players=env_params.n_players, hidden=tuple(args.hidden)
+    )
+    tx = make_optimizer(cfg)
+    mesh = make_mesh()
+    if args.envs % jax.device_count():
+        raise SystemExit(
+            f"--envs {args.envs} must divide evenly over "
+            f"{jax.device_count()} devices"
+        )
+
+    runner = init_runner(
+        jax.random.PRNGKey(args.seed), model, env_params, cfg,
+        n_envs=args.envs, tx=tx,
+    )
+    runner = runner.replace(env_state=shard_env_state(runner.env_state, mesh))
+    step_fn = shard_train_iteration(mesh, model, env_params, cfg, tx)
+
+    ckpt = None
+    if args.checkpoint_dir:
+        from .utils.checkpoint import Checkpointer
+
+        ckpt = Checkpointer(args.checkpoint_dir)
+        restored, start_iter = ckpt.restore_latest(runner)
+        if restored is not None:
+            runner = restored
+            print(f"# resumed from iteration {start_iter}")
+
+    steps_per_iter = args.envs * cfg.rollout_steps
+    t_start = time.perf_counter()
+    for it in range(args.iters):
+        t0 = time.perf_counter()
+        runner, metrics = step_fn(runner)
+        metrics = jax.tree.map(float, jax.device_get(metrics))
+        dt = time.perf_counter() - t0
+        if it % args.log_every == 0 and jax.process_index() == 0:
+            print(json.dumps({
+                "iter": it,
+                "env_steps_per_sec": round(steps_per_iter / dt),
+                **{k: round(v, 5) for k, v in metrics.items()},
+            }))
+        if ckpt and (it + 1) % args.checkpoint_every == 0:
+            ckpt.save(runner, it + 1)
+
+    total = time.perf_counter() - t_start
+    if jax.process_index() == 0:
+        print(json.dumps({
+            "done": True,
+            "total_env_steps": steps_per_iter * args.iters,
+            "wall_s": round(total, 2),
+            "env_steps_per_sec": round(steps_per_iter * args.iters / total),
+        }))
+    if ckpt:
+        ckpt.save(runner, args.iters)
+        ckpt.wait()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""PPO learner unit tests: GAE vs hand-computed values, loss sanity,
+single-device training smoke (SURVEY.md §4.2; sharded path covered in
+test_sharding.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gym_futbol_tpu import EnvParams
+from gym_futbol_tpu.models.policy import (
+    ActorCritic,
+    action_log_prob_and_entropy,
+    init_params,
+    sample_actions,
+)
+from gym_futbol_tpu.ppo import (
+    PPOConfig,
+    Transition,
+    compute_gae,
+    init_runner,
+    make_optimizer,
+    train_iteration,
+)
+
+
+ENV_P = EnvParams(players_per_team=1, max_steps=32)
+
+
+class TestGAE:
+    def test_matches_reference_formula(self):
+        """Compare against an explicit python-loop GAE."""
+        cfg = PPOConfig(gamma=0.9, gae_lambda=0.8)
+        T, B = 5, 2
+        rng = np.random.RandomState(0)
+        rewards = rng.randn(T, B).astype(np.float32)
+        values = rng.randn(T, B).astype(np.float32)
+        dones = (rng.rand(T, B) < 0.3)
+        last_value = rng.randn(B).astype(np.float32)
+
+        traj = Transition(
+            obs=jnp.zeros((T, B, 1)), action=jnp.zeros((T, B, 1, 2), jnp.int32),
+            logp=jnp.zeros((T, B)), value=jnp.asarray(values),
+            reward=jnp.asarray(rewards), done=jnp.asarray(dones),
+        )
+        adv, ret = compute_gae(traj, jnp.asarray(last_value), cfg)
+
+        expected = np.zeros((T, B), np.float32)
+        gae = np.zeros(B, np.float32)
+        next_v = last_value
+        for t in reversed(range(T)):
+            nonterm = 1.0 - dones[t]
+            delta = rewards[t] + cfg.gamma * next_v * nonterm - values[t]
+            gae = delta + cfg.gamma * cfg.gae_lambda * nonterm * gae
+            expected[t] = gae
+            next_v = values[t]
+        np.testing.assert_allclose(np.asarray(adv), expected, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(ret), expected + values, rtol=1e-5
+        )
+
+
+class TestPolicy:
+    def test_sample_and_logprob_consistent(self, key):
+        model = ActorCritic(n_players=2, hidden=(16,))
+        params = init_params(key, model, ENV_P)
+        obs = jax.random.normal(key, (7, 4 * ENV_P.n_bodies + 2))
+        logits, value = model.apply(params, obs)
+        assert logits.shape == (7, 2, 2, 5)
+        assert value.shape == (7,)
+        actions, logp = sample_actions(key, logits)
+        logp2, ent = action_log_prob_and_entropy(logits, actions)
+        np.testing.assert_allclose(np.asarray(logp), np.asarray(logp2), rtol=1e-5)
+        assert (np.asarray(ent) > 0).all()
+        assert (np.asarray(actions) >= 0).all() and (np.asarray(actions) < 5).all()
+
+
+class TestTraining:
+    def test_single_device_iteration(self, key):
+        cfg = PPOConfig(rollout_steps=8, epochs=2, minibatches=2)
+        model = ActorCritic(n_players=ENV_P.n_players, hidden=(32,))
+        tx = make_optimizer(cfg)
+        runner = init_runner(key, model, ENV_P, cfg, n_envs=8, tx=tx)
+        f = jax.jit(
+            lambda r: train_iteration(r, model, ENV_P, cfg, tx)
+        )
+        runner, metrics = f(runner)
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), k
+        runner2, metrics2 = f(runner)
+        p0 = jax.tree.leaves(runner.params)[0]
+        p2 = jax.tree.leaves(runner2.params)[0]
+        assert not np.allclose(np.asarray(p0), np.asarray(p2))
