@@ -1,8 +1,8 @@
-"""Throughput benchmark — BASELINE.md config 3 (headline metric).
+"""Throughput benchmark — BASELINE.md configs (headline: config 3).
 
-2v2 FutbolEnv, 4096-env batch with auto-reset, random policy, full
-rollout under jit+lax.scan on the local accelerator. Prints exactly ONE
-JSON line:
+Default run is config 3: 2v2 FutbolEnv, 4096-env batch with auto-reset,
+random policy, full rollout under jit+lax.scan. Prints exactly ONE JSON
+line on the last output line:
 
     {"metric": "env_steps_per_sec", "value": N, "unit": "steps/s",
      "vs_baseline": R}
@@ -12,7 +12,14 @@ JSON line:
 benchmark numbers (BASELINE.md: `published: {}`), so the target is the
 operative baseline.
 
-Usage: python bench.py [--envs 4096] [--steps 512] [--ppt 2] [--iters 3]
+Other presets (--config):
+  2: 2v2, 256 envs, jit+vmap random-policy throughput
+  3: 2v2, 4096 envs, auto-reset (default; the headline)
+  4: 3v3, 16384 envs, PPO rollout-buffer collection (policy fwd + GAE)
+  5: 5v5, 65536 envs, sharded PPO iteration incl. grad pmean collective
+     (single-chip here; runs unchanged on a multi-host mesh)
+
+Usage: python bench.py [--config 3] [--envs N] [--steps T] [--ppt P]
 """
 
 from __future__ import annotations
@@ -22,15 +29,16 @@ import json
 import time
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--envs", type=int, default=4096)
-    ap.add_argument("--steps", type=int, default=512)
-    ap.add_argument("--ppt", type=int, default=2)
-    ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--verbose", action="store_true")
-    args = ap.parse_args()
+CONFIGS = {
+    2: dict(ppt=2, envs=256, steps=512),
+    3: dict(ppt=2, envs=4096, steps=512),
+    4: dict(ppt=3, envs=16384, steps=128),
+    5: dict(ppt=5, envs=65536, steps=64),
+}
 
+
+def bench_rollout(args) -> float:
+    """Configs 2-3: random-policy rollout with auto-reset. Returns steps/s."""
     import jax
 
     from gym_futbol_tpu import EnvParams
@@ -41,17 +49,15 @@ def main() -> None:
     mesh = make_mesh()
     run = shard_rollout(mesh, params, args.steps)
 
-    key = jax.random.PRNGKey(0)
-    state, _ = reset_batch(key, params, args.envs)
+    state, _ = reset_batch(jax.random.PRNGKey(0), params, args.envs)
     state = shard_env_state(state, mesh)
 
-    # warmup / compile
     t0 = time.perf_counter()
     state, outs = run(state, jax.random.PRNGKey(1))
     jax.block_until_ready(outs.reward)
-    compile_s = time.perf_counter() - t0
     if args.verbose:
-        print(f"# compile+first-run: {compile_s:.1f}s on {jax.devices()[0]}")
+        print(f"# compile+first-run: {time.perf_counter() - t0:.1f}s "
+              f"on {jax.devices()[0]}")
 
     times = []
     for i in range(args.iters):
@@ -59,9 +65,88 @@ def main() -> None:
         state, outs = run(state, jax.random.PRNGKey(2 + i))
         jax.block_until_ready(outs.reward)
         times.append(time.perf_counter() - t0)
+    return args.envs * args.steps / min(times)
 
-    best = min(times)
-    steps_per_sec = args.envs * args.steps / best
+
+def bench_ppo(args, with_update: bool) -> float:
+    """Config 4 (rollout collection into the PPO buffer + GAE) and
+    config 5 (full sharded PPO iteration). Returns env-steps/s."""
+    import jax
+
+    from gym_futbol_tpu import EnvParams
+    from gym_futbol_tpu.models.policy import ActorCritic
+    from gym_futbol_tpu.parallel import (
+        make_mesh, shard_env_state, shard_train_iteration,
+    )
+    from gym_futbol_tpu.ppo import (
+        PPOConfig, collect_rollout, compute_gae, init_runner, make_optimizer,
+    )
+
+    env_params = EnvParams(players_per_team=args.ppt)
+    cfg = PPOConfig(rollout_steps=args.steps)
+    model = ActorCritic(n_players=env_params.n_players)
+    tx = make_optimizer(cfg)
+    mesh = make_mesh()
+    runner = init_runner(
+        jax.random.PRNGKey(0), model, env_params, cfg, n_envs=args.envs, tx=tx
+    )
+    runner = runner.replace(env_state=shard_env_state(runner.env_state, mesh))
+
+    if with_update:
+        fn = shard_train_iteration(mesh, model, env_params, cfg, tx)
+
+        def once(r):
+            r, metrics = fn(r)
+            jax.block_until_ready(metrics["loss"])
+            return r
+    else:
+        @jax.jit
+        def collect(r):
+            r, traj, last_v = collect_rollout(r, model, env_params, cfg)
+            adv, ret = compute_gae(traj, last_v, cfg)
+            return r, adv.mean()
+
+        def once(r):
+            r, m = collect(r)
+            jax.block_until_ready(m)
+            return r
+
+    t0 = time.perf_counter()
+    runner = once(runner)
+    if args.verbose:
+        print(f"# compile+first-run: {time.perf_counter() - t0:.1f}s")
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        runner = once(runner)
+        times.append(time.perf_counter() - t0)
+    return args.envs * args.steps / min(times)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=3, choices=sorted(CONFIGS))
+    ap.add_argument("--envs", type=int, default=None)
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--ppt", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    preset = CONFIGS[args.config]
+    args.envs = args.envs or preset["envs"]
+    args.steps = args.steps or preset["steps"]
+    args.ppt = args.ppt or preset["ppt"]
+
+    from gym_futbol_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    if args.config in (2, 3):
+        steps_per_sec = bench_rollout(args)
+    else:
+        steps_per_sec = bench_ppo(args, with_update=(args.config == 5))
+
     print(
         json.dumps(
             {

@@ -78,12 +78,23 @@ def reset(
     return state, observe(state, params)
 
 
-@partial(jax.jit, static_argnames=("params",))
+@partial(jax.jit, static_argnames=("params", "auto_reset"))
 def step(
-    state: EnvState, actions: jax.Array, params: EnvParams
+    state: EnvState, actions: jax.Array, params: EnvParams,
+    auto_reset: bool = False,
 ) -> tuple[EnvState, StepOutput]:
     """One environment step (STEP ORDER above). ``actions``: [n_players, 2]
-    int32 per the ACTION SPEC in :mod:`gym_futbol_tpu.game`."""
+    int32 per the ACTION SPEC in :mod:`gym_futbol_tpu.game`.
+
+    With ``auto_reset=True`` (the vectorized/training path), wherever
+    ``done`` is hit the carried state is replaced by a fresh episode in
+    the same fused program, REUSING this step's kickoff placement draw —
+    no extra RNG or reset work. ``reward``/``done``/``info`` report the
+    terminal transition; ``obs`` follows the carried state (post-reset
+    where done), matching classic vec-env autoreset semantics: the policy
+    always acts on an observation consistent with the carried state, and
+    ``done`` cuts the value bootstrap so the terminal obs is not needed.
+    """
     dtype = state.pos.dtype
     k_kick, k_kickoff, k_next = jax.random.split(state.key, 3)
     pos_before = state.pos
@@ -120,9 +131,22 @@ def step(
     t = state.t + 1
     done = t >= params.max_steps
 
-    new_state = EnvState(
-        pos=pos, vel=vel, possession=possession, score=score, t=t, key=k_next
-    )
+    if auto_reset:
+        # Fresh episode where done: a new episode's initial state IS a
+        # kickoff placement, so reuse (kick_pos, kick_vel) drawn above.
+        new_state = EnvState(
+            pos=jnp.where(done, kick_pos, pos),
+            vel=jnp.where(done, kick_vel, vel),
+            possession=jnp.where(done, jnp.asarray(-1, jnp.int32), possession),
+            score=jnp.where(done, jnp.zeros((2,), jnp.int32), score),
+            t=jnp.where(done, jnp.asarray(0, jnp.int32), t),
+            key=k_next,
+        )
+    else:
+        new_state = EnvState(
+            pos=pos, vel=vel, possession=possession, score=score, t=t,
+            key=k_next,
+        )
     obs = observe(new_state, params)
     out = StepOutput(
         obs=obs,

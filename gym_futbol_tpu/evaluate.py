@@ -1,0 +1,117 @@
+"""Policy evaluation: head-to-head matches fully on-device.
+
+The env is symmetric multi-agent (joint actions for both teams), so
+evaluation composes per-team policies into a joint policy and scans
+full episodes. Supports policy-vs-random, policy-vs-policy (self-play
+leagues), and random-vs-random baselines.
+
+Usage:
+    from gym_futbol_tpu.evaluate import evaluate
+    result = evaluate(params, policy_a=my_policy, n_envs=256, n_steps=300)
+    # result["goals"] [2], result["win_rate"], ...
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from .types import EnvParams
+from .vector import reset_batch, rollout
+
+# A team policy maps (key, obs[B, obs_dim]) -> actions [B, ppt, 2]
+TeamPolicy = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+def random_team_policy(params: EnvParams) -> TeamPolicy:
+    def policy(key: jax.Array, obs: jax.Array) -> jax.Array:
+        b = obs.shape[0]
+        return jax.random.randint(
+            key, (b, params.players_per_team, 2), 0, 5, dtype=jnp.int32
+        )
+
+    return policy
+
+
+def mirror_obs(obs: jax.Array, params: EnvParams) -> jax.Array:
+    """Present team 1 with a team-0 view: mirror x about the field center
+    and swap the team blocks, so one policy can play either side.
+
+    Obs layout (env.observe): [x,y,vx,vy] per body then 2 possession flags.
+    """
+    n = params.n_bodies
+    ppt = params.players_per_team
+    body = obs[..., : 4 * n].reshape(obs.shape[:-1] + (n, 4))
+    # mirror x (positions are normalized to [0,1]) and vx
+    body = body.at[..., 0].set(1.0 - body[..., 0])
+    body = body.at[..., 2].set(-body[..., 2])
+    # swap team blocks (ball stays body 0)
+    ball = body[..., :1, :]
+    t0 = body[..., 1 : 1 + ppt, :]
+    t1 = body[..., 1 + ppt : 1 + 2 * ppt, :]
+    body = jnp.concatenate([ball, t1, t0], axis=-2)
+    flags = obs[..., 4 * n :]
+    flags = jnp.stack([flags[..., 1], flags[..., 0]], axis=-1)
+    return jnp.concatenate(
+        [body.reshape(obs.shape[:-1] + (4 * n,)), flags], axis=-1
+    )
+
+
+def joint_policy(
+    params: EnvParams, policy_a: TeamPolicy, policy_b: TeamPolicy,
+) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """Compose two team policies into the env's joint-action policy.
+    policy_b sees the mirrored observation (plays 'as team 0')."""
+
+    def policy(key: jax.Array, obs: jax.Array) -> jax.Array:
+        ka, kb = jax.random.split(key)
+        act_a = policy_a(ka, obs)
+        act_b = policy_b(kb, mirror_obs(obs, params))
+        # un-mirror team 1's direction choices: swap left/right (2 <-> 4)
+        dirs = act_b[..., 0]
+        dirs = jnp.where(dirs == 2, 4, jnp.where(dirs == 4, 2, dirs))
+        act_b = act_b.at[..., 0].set(dirs)
+        return jnp.concatenate([act_a, act_b], axis=-2)
+
+    return policy
+
+
+@partial(jax.jit, static_argnames=("params", "n_envs", "n_steps", "policy"))
+def _run_matches(key, params: EnvParams, n_envs: int, n_steps: int, policy):
+    k_reset, k_roll = jax.random.split(key)
+    state, _ = reset_batch(k_reset, params, n_envs)
+    state, outs = rollout(state, policy, k_roll, params, n_steps)
+    goals = outs.info["goal"]                 # [T, B, 2] bool
+    total_goals = goals.sum(axis=(0, 1))      # [2]
+    per_env = goals.sum(axis=0)               # [B, 2]
+    wins_a = (per_env[:, 0] > per_env[:, 1]).mean()
+    wins_b = (per_env[:, 1] > per_env[:, 0]).mean()
+    draws = (per_env[:, 0] == per_env[:, 1]).mean()
+    return {
+        "goals": total_goals,
+        "goals_per_episode": total_goals / n_envs,
+        "win_rate_a": wins_a,
+        "win_rate_b": wins_b,
+        "draw_rate": draws,
+        "mean_team0_reward": outs.team_reward[..., 0].mean(),
+    }
+
+
+def evaluate(
+    params: EnvParams,
+    policy_a: TeamPolicy | None = None,
+    policy_b: TeamPolicy | None = None,
+    n_envs: int = 256,
+    n_steps: int = 300,
+    seed: int = 0,
+) -> dict:
+    """Run n_envs parallel matches of n_steps; returns host-side metrics.
+    Defaults to random policies for any side not given."""
+    policy_a = policy_a or random_team_policy(params)
+    policy_b = policy_b or random_team_policy(params)
+    policy = joint_policy(params, policy_a, policy_b)
+    out = _run_matches(jax.random.PRNGKey(seed), params, n_envs, n_steps, policy)
+    return {k: jax.device_get(v) for k, v in out.items()}

@@ -47,6 +47,7 @@ def shard_rollout(
     """Compile a sharded T-step rollout. Returns f(state, key) ->
     (state, outs) with the env batch sharded over 'env'."""
     policy = policy or vector.random_policy(params)
+
     sh_env = env_sharding(mesh)
 
     @partial(jax.jit, donate_argnums=(0,))

@@ -38,6 +38,10 @@ def main() -> None:
 
     import jax
 
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from .models.policy import ActorCritic
     from .parallel import make_mesh, shard_env_state, shard_train_iteration
     from .parallel.mesh import init_distributed

@@ -10,6 +10,12 @@ Auto-reset (BASELINE.json config 3) is built in: wherever ``done`` is hit,
 the transition's outputs are returned as usual and the carried state is
 replaced by a fresh episode (masked select — branch-free, SURVEY.md §7.4
 item 7). ``rollout`` runs T steps entirely on-device with ``lax.scan``.
+
+Layout note: the batched state is batch-LEADING ([B, ...] on every leaf);
+a batch-minor ([..., B]) variant was measured and did not beat it — the
+physics kernel already reads per-body *scalars* (see physics.py), which
+under vmap are dense [B] vectors regardless of the state's stored layout,
+and XLA lays out the small game-logic intermediates well either way.
 """
 
 from __future__ import annotations
@@ -22,6 +28,12 @@ import jax.numpy as jnp
 
 from . import env as env_core
 from .types import EnvParams, EnvState, StepOutput
+
+# vmap in_axes/out_axes for a batched EnvState: batch-leading on every
+# leaf, i.e. plain axis 0. (A batch-minor variant was measured at 6.08M
+# vs 6.13M steps/s batch-leading on the v5e chip and made the sharded
+# path's compile pathological — rejected; see module docstring.)
+STATE_AXES = 0
 
 
 def reset_batch(
@@ -40,29 +52,17 @@ def step_batch(
     """Batched step WITH auto-reset-on-done.
 
     state: batched EnvState (leading env axis). actions: [B, n_players, 2].
-    Returns (new_state, out) where ``out`` holds the transition from the
-    *pre-reset* episode (final obs/reward of an episode are observable),
-    while ``new_state`` has already been re-initialized where done.
+    Returns (new_state, out): ``out.reward``/``done``/``info`` report the
+    terminal transition, while ``new_state`` (and ``out.obs``, which
+    follows it) has already been re-initialized where done — classic
+    vec-env autoreset semantics; see :func:`gym_futbol_tpu.env.step`.
+
+    Auto-reset happens *inside* ``env.step`` (static flag), reusing the
+    step's own kickoff placement draw — zero extra RNG or reset work.
     """
-    stepped, out = jax.vmap(lambda s, a: env_core.step(s, a, params))(
-        state, actions
-    )
-
-    # auto-reset: fresh episodes where done, keyed from the stepped state's key
-    def fresh(s: EnvState) -> EnvState:
-        k_reset, k_carry = jax.random.split(s.key)
-        ns, _ = env_core.reset(k_reset, params, s.pos.dtype)
-        return ns.replace(key=k_carry)
-
-    new_eps = jax.vmap(fresh)(stepped)
-    done = out.done
-
-    def select(a, b):
-        d = done.reshape(done.shape + (1,) * (a.ndim - done.ndim))
-        return jnp.where(d, a, b)
-
-    new_state = jax.tree.map(select, new_eps, stepped)
-    return new_state, out
+    return jax.vmap(
+        lambda s, a: env_core.step(s, a, params, auto_reset=True)
+    )(state, actions)
 
 
 def rollout(
@@ -79,7 +79,9 @@ def rollout(
     This is the hot loop the driver's configs 2-5 measure; contrast with
     the reference's Python-loop rollout (SURVEY.md §3.5).
     """
-    obs0 = jax.vmap(lambda s: env_core.observe(s, params))(state)
+    obs0 = jax.vmap(
+        lambda s: env_core.observe(s, params), in_axes=(STATE_AXES,)
+    )(state)
 
     def body(carry, _):
         state, obs, key = carry

@@ -1,0 +1,116 @@
+"""Pure-functional env wrappers (episode stats, observation normalization).
+
+The reference's users get these from the stable-baselines VecEnv ecosystem
+(`VecMonitor`, `VecNormalize` — SURVEY.md §2.1 #12). Here each wrapper is
+a (state, fn) pair over the batched pure API, so wrapped envs stay fully
+jit/vmap/shard_map-compatible and run inside lax.scan rollouts.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .types import EnvParams, EnvState, StepOutput
+from .vector import step_batch
+
+
+# ---------------------------------------------------------------------------
+# Episode statistics (VecMonitor equivalent)
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class EpisodeStats:
+    """Per-env running episode accumulators + last-completed snapshots.
+
+    All [B]; read ``last_return``/``last_length`` wherever ``done`` was
+    True that step.
+    """
+
+    acc_return: jax.Array     # [B] running sum of team-0 reward
+    acc_length: jax.Array     # [B] running step count
+    last_return: jax.Array    # [B] return of the most recent finished episode
+    last_length: jax.Array    # [B]
+    episodes: jax.Array       # [B] finished-episode count
+
+    @classmethod
+    def init(cls, n_envs: int, dtype=jnp.float32) -> "EpisodeStats":
+        z = jnp.zeros((n_envs,), dtype)
+        zi = jnp.zeros((n_envs,), jnp.int32)
+        return cls(acc_return=z, acc_length=zi, last_return=z,
+                   last_length=zi, episodes=zi)
+
+
+def step_with_stats(
+    state: EnvState, stats: EpisodeStats, actions: jax.Array,
+    params: EnvParams,
+) -> tuple[EnvState, EpisodeStats, StepOutput]:
+    """step_batch + episode accounting (auto-reset aware)."""
+    state, out = step_batch(state, actions, params)
+    acc_r = stats.acc_return + out.reward
+    acc_l = stats.acc_length + 1
+    done = out.done
+    stats = EpisodeStats(
+        acc_return=jnp.where(done, 0.0, acc_r),
+        acc_length=jnp.where(done, 0, acc_l),
+        last_return=jnp.where(done, acc_r, stats.last_return),
+        last_length=jnp.where(done, acc_l, stats.last_length),
+        episodes=stats.episodes + done.astype(jnp.int32),
+    )
+    return state, stats, out
+
+
+# ---------------------------------------------------------------------------
+# Observation normalization (VecNormalize equivalent, obs side)
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class RunningNorm:
+    """Batched Welford running mean/var over observations."""
+
+    mean: jax.Array    # [obs_dim]
+    var: jax.Array     # [obs_dim]
+    count: jax.Array   # []
+
+    @classmethod
+    def init(cls, obs_dim: int, dtype=jnp.float32) -> "RunningNorm":
+        return cls(
+            mean=jnp.zeros((obs_dim,), dtype),
+            var=jnp.ones((obs_dim,), dtype),
+            count=jnp.asarray(1e-4, dtype),
+        )
+
+    def update(self, obs: jax.Array) -> "RunningNorm":
+        """obs: [B, obs_dim]. Chan et al. parallel-merge update."""
+        b_mean = obs.mean(axis=0)
+        b_var = obs.var(axis=0)
+        b_count = jnp.asarray(obs.shape[0], obs.dtype)
+        delta = b_mean - self.mean
+        tot = self.count + b_count
+        mean = self.mean + delta * b_count / tot
+        m_a = self.var * self.count
+        m_b = b_var * b_count
+        m2 = m_a + m_b + delta**2 * self.count * b_count / tot
+        return RunningNorm(mean=mean, var=m2 / tot, count=tot)
+
+    def normalize(self, obs: jax.Array, clip: float = 10.0) -> jax.Array:
+        z = (obs - self.mean) / jnp.sqrt(self.var + 1e-8)
+        return jnp.clip(z, -clip, clip)
+
+
+def step_normalized(
+    state: EnvState, norm: RunningNorm, actions: jax.Array,
+    params: EnvParams, update: bool = True,
+) -> tuple[EnvState, RunningNorm, StepOutput]:
+    """step_batch returning normalized observations (stats updated on the
+    raw obs unless ``update=False`` for eval)."""
+    state, out = step_batch(state, actions, params)
+    if update:
+        norm = norm.update(out.obs)
+    out = out.replace(obs=norm.normalize(out.obs))
+    return state, norm, out

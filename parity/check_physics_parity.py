@@ -30,6 +30,9 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
 from gym_futbol_tpu.physics import physics_step  # noqa: E402
+from gym_futbol_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 from gym_futbol_tpu.types import EnvParams  # noqa: E402
 from native.build import load_oracle, oracle_physics_step  # noqa: E402
 
@@ -57,7 +60,9 @@ def run_case(lib, params: EnvParams, seed: int, n_steps: int,
     forces = rng.randn(n, 2) * params.move_force
     forces[0] = 0.0
 
-    step = jax.jit(lambda p, v: physics_step(p, v, forces, params))
+    # physics_step is module-level jit (params static): the compile cache
+    # hits across seeds and across the lockstep/free-running loops below.
+    step = lambda p, v: physics_step(p, v, forces, params)
 
     # --- lockstep single-step parity (the certification) ---
     opos, ovel = pos.copy(), vel.copy()

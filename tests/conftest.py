@@ -20,6 +20,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+from gym_futbol_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+# Persistent XLA compile cache: the physics program's compile cost grows
+# steeply with body count (5v5 ~3min on CPU); pay it once per machine.
+enable_compilation_cache()
+
 
 @pytest.fixture
 def key():

@@ -6,7 +6,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from gym_futbol_tpu import EnvParams, reset, step
-from gym_futbol_tpu.vector import random_policy, reset_batch, rollout, step_batch
+from gym_futbol_tpu.vector import (
+    STATE_AXES,
+    random_policy,
+    reset_batch,
+    rollout,
+    step_batch,
+)
 
 
 P = EnvParams(players_per_team=2)
@@ -23,7 +29,10 @@ class TestBatchInvariance:
         # batched path
         bstate, bobs = reset_batch(key, P, n)
         # NOTE: reset_batch splits `key` the same way we do here
-        bstate2, bout = jax.vmap(lambda s, a: step(s, a, P))(bstate, actions)
+        bstate2, bout = jax.vmap(
+            lambda s, a: step(s, a, P),
+            in_axes=(STATE_AXES, 0), out_axes=(STATE_AXES, 0),
+        )(bstate, actions)
 
         # single-env path
         for i in range(n):
@@ -40,7 +49,7 @@ class TestBatchInvariance:
     def test_env_rng_streams_independent(self, key):
         n = 4
         state, _ = reset_batch(key, P, n)
-        keys = np.asarray(state.key)
+        keys = np.asarray(state.key)  # batch-leading: [B, key_words]
         assert len({tuple(k) for k in keys}) == n
 
 
