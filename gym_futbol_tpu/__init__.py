@@ -17,7 +17,9 @@ Quick start::
     state, out = step(state, actions, params)
 """
 
+from .entities import Ball, Player, Team
 from .env import FutbolEnv, observe, obs_size, reset, step
+from .registry import make, make_params, register, registered_ids
 from .spaces import Box, Discrete, MultiDiscrete
 from .types import EnvParams, EnvState, RewardConfig, StepOutput
 
@@ -33,6 +35,13 @@ __all__ = [
     "step",
     "observe",
     "obs_size",
+    "make",
+    "make_params",
+    "register",
+    "registered_ids",
+    "Ball",
+    "Player",
+    "Team",
     "Box",
     "Discrete",
     "MultiDiscrete",
