@@ -52,20 +52,24 @@ def bench_rollout(args) -> float:
     state, _ = reset_batch(jax.random.PRNGKey(0), params, args.envs)
     state = shard_env_state(state, mesh)
 
+    # NOTE: sync via device_get, NOT block_until_ready — on the axon
+    # backend block_until_ready returns before execution completes for
+    # donated/sharded outputs, which inflates steps/s by >100x.
     t0 = time.perf_counter()
     state, outs = run(state, jax.random.PRNGKey(1))
-    jax.block_until_ready(outs.reward)
+    jax.device_get(outs.reward[-1, :1])
     if args.verbose:
         print(f"# compile+first-run: {time.perf_counter() - t0:.1f}s "
               f"on {jax.devices()[0]}")
 
-    times = []
+    # Timed loop: iterations chain through the donated state, so fetching
+    # the last iteration's output waits for all of them.
+    t0 = time.perf_counter()
     for i in range(args.iters):
-        t0 = time.perf_counter()
         state, outs = run(state, jax.random.PRNGKey(2 + i))
-        jax.block_until_ready(outs.reward)
-        times.append(time.perf_counter() - t0)
-    return args.envs * args.steps / min(times)
+    jax.device_get(outs.reward[-1, :1])
+    dt = (time.perf_counter() - t0) / args.iters
+    return args.envs * args.steps / dt
 
 
 def bench_ppo(args, with_update: bool) -> float:
@@ -97,8 +101,7 @@ def bench_ppo(args, with_update: bool) -> float:
 
         def once(r):
             r, metrics = fn(r)
-            jax.block_until_ready(metrics["loss"])
-            return r
+            return r, metrics["loss"]
     else:
         @jax.jit
         def collect(r):
@@ -106,21 +109,20 @@ def bench_ppo(args, with_update: bool) -> float:
             adv, ret = compute_gae(traj, last_v, cfg)
             return r, adv.mean()
 
-        def once(r):
-            r, m = collect(r)
-            jax.block_until_ready(m)
-            return r
+        once = collect
 
+    # device_get sync (see bench_rollout note about axon block_until_ready)
     t0 = time.perf_counter()
-    runner = once(runner)
+    runner, m = once(runner)
+    jax.device_get(m)
     if args.verbose:
         print(f"# compile+first-run: {time.perf_counter() - t0:.1f}s")
-    times = []
+    t0 = time.perf_counter()
     for _ in range(args.iters):
-        t0 = time.perf_counter()
-        runner = once(runner)
-        times.append(time.perf_counter() - t0)
-    return args.envs * args.steps / min(times)
+        runner, m = once(runner)
+    jax.device_get(m)
+    dt = (time.perf_counter() - t0) / args.iters
+    return args.envs * args.steps / dt
 
 
 def main() -> None:

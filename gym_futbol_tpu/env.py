@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from . import game
-from .physics import physics_step
+from .physics import physics_step_scalars
 from .spaces import Box, MultiDiscrete
 from .types import EnvParams, EnvState, StepOutput
 
@@ -96,31 +96,59 @@ def step(
     ``done`` cuts the value bootstrap so the terminal obs is not needed.
     """
     dtype = state.pos.dtype
+    n = params.n_bodies
     k_kick, k_kickoff, k_next = jax.random.split(state.key, 3)
-    pos_before = state.pos
+
+    # Unpack ONCE into per-body coordinate scalars; the whole step then
+    # runs in scalar-SSA form — under vmap every scalar is a dense [B]
+    # lane vector, so no [B, n_bodies, 2] gathers/scatters appear
+    # anywhere in the hot path (measured ~2x step time saved on the v5e;
+    # see parity/ablate_step.py).
+    px = [state.pos[i, 0] for i in range(n)]
+    py = [state.pos[i, 1] for i in range(n)]
+    vx = [state.vel[i, 0] for i in range(n)]
+    vy = [state.vel[i, 1] for i in range(n)]
+    px_before, py_before = list(px), list(py)
 
     # 2-4: intent
-    forces = game.decode_forces(actions, params, dtype)
-    possession = game.update_possession(state.pos, state.possession, actions, params)
-    vel, possession = game.apply_kick(
-        state.pos, state.vel, possession, actions, k_kick, params
+    fx, fy = game.decode_forces_scalars(actions, params, dtype)
+    possession = game.update_possession_scalars(
+        px, py, state.possession, actions, params, dtype
     )
+    dvx, dvy, possession = game.apply_kick_scalars(
+        px, py, vx, vy, possession, actions, k_kick, params, dtype
+    )
+    vx[0] = vx[0] + dvx
+    vy[0] = vy[0] + dvy
 
     # 5-6: dynamics
-    pos, vel = physics_step(state.pos, vel, forces, params)
-    pos, vel = game.apply_dribble(pos, vel, possession, actions, params)
-
-    # 7-8: goals and bounds
-    goals = game.detect_goal(pos, params)                    # [2] bool
-    pos, vel, ball_clamped = game.clamp_oob(pos, vel, params)
-
-    # 9: rewards from pre-kickoff positions
-    team_reward = game.shaped_rewards(
-        pos_before, pos, possession, goals, ball_clamped, params
+    px, py, vx, vy = physics_step_scalars(
+        px, py, vx, vy, fx, fy, params, dtype
+    )
+    px[0], py[0], vx[0], vy[0] = game.apply_dribble_scalars(
+        px, py, vx, vy, possession, actions, params, dtype
     )
 
+    # 7-8: goals and bounds
+    goal0, goal1 = game.detect_goal_scalars(px[0], py[0], params)
+    px, py, vx, vy, ball_clamped = game.clamp_oob_scalars(
+        px, py, vx, vy, params, dtype
+    )
+
+    # 9: rewards from pre-kickoff positions
+    r0, r1 = game.shaped_rewards_scalars(
+        px_before, py_before, px, py, possession, goal0, goal1,
+        ball_clamped, params, dtype,
+    )
+    team_reward = jnp.stack([r0, r1])
+    goals = jnp.stack([goal0, goal1])
+
+    # pack once at the end of the scalar pipeline
+    pos = jnp.stack([jnp.stack(px), jnp.stack(py)], axis=-1)
+    vel = jnp.stack([jnp.stack(vx), jnp.stack(vy)], axis=-1)
+
     # 10: kickoff re-placement where a goal occurred (masked select)
-    any_goal = jnp.any(goals)
+    any_goal = goal0 | goal1
     kick_pos, kick_vel = game.kickoff_positions(k_kickoff, params, dtype)
     pos = jnp.where(any_goal, kick_pos, pos)
     vel = jnp.where(any_goal, kick_vel, vel)

@@ -45,8 +45,41 @@ from .types import EnvParams, EnvState
 _DIRS = jnp.asarray(
     [[0.0, 0.0], [0.0, 1.0], [1.0, 0.0], [0.0, -1.0], [-1.0, 0.0]]
 )
+# Same table as Python constants for branch-free scalar decode.
+_DIR_X = (0.0, 0.0, 1.0, 0.0, -1.0)
+_DIR_Y = (0.0, 1.0, 0.0, -1.0, 0.0)
 
 ACT_NOOP, ACT_DASH, ACT_PRESS, ACT_PASS, ACT_SHOOT = 0, 1, 2, 3, 4
+
+
+# ---------------------------------------------------------------------------
+# TPU-friendly selection primitives
+#
+# Dynamic gathers like ``pos[owner]`` become per-env gather ops on
+# [B, n_bodies, 2] under vmap — on TPU these are layout-hostile and were
+# measured (parity/ablate_step.py) at ~200 us/step each in the fused
+# program, an order of magnitude above their flop cost. With n <= 11
+# bodies, a one-hot masked sum over STATIC slices is bit-exact (adding
+# zeros and multiplying by 1.0 are exact in IEEE754) and compiles to a
+# handful of dense [B]-wide VPU ops instead.
+# ---------------------------------------------------------------------------
+
+
+def _select_row(table: jax.Array, idx: jax.Array, lo: int, hi: int) -> jax.Array:
+    """table[idx] for idx in [lo, hi) via one-hot sum of static rows.
+    Exact: contributes table[idx] * 1.0 plus zeros."""
+    out = jnp.zeros_like(table[lo])
+    for i in range(lo, hi):
+        out = out + jnp.where(idx == i, table[i], jnp.zeros_like(table[i]))
+    return out
+
+
+def _select_scalar(values: jax.Array, idx: jax.Array, lo: int, hi: int) -> jax.Array:
+    """values[idx] (0-d result) via chained where over static entries."""
+    out = values[lo]
+    for i in range(lo + 1, hi):
+        out = jnp.where(idx == i, values[i], out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -54,22 +87,41 @@ ACT_NOOP, ACT_DASH, ACT_PRESS, ACT_PASS, ACT_SHOOT = 0, 1, 2, 3, 4
 # ---------------------------------------------------------------------------
 
 
+def _dir_unit(direction: jax.Array, dtype) -> tuple[jax.Array, jax.Array]:
+    """Direction index -> unit vector, branch-free (no table gather)."""
+    one = jnp.asarray(1.0, dtype)
+    zero = jnp.asarray(0.0, dtype)
+    ux = jnp.where(direction == 2, one, jnp.where(direction == 4, -one, zero))
+    uy = jnp.where(direction == 1, one, jnp.where(direction == 3, -one, zero))
+    return ux, uy
+
+
+def decode_forces_scalars(
+    actions: jax.Array, params: EnvParams, dtype
+) -> tuple[list, list]:
+    """Scalar-form action decode: per-body force scalars (fx, fy) lists,
+    ball first (zero). Under vmap each scalar is a dense [B] vector —
+    no [B, n_bodies, 2] intermediates (see parity/ablate_step.py)."""
+    zero = jnp.asarray(0.0, dtype)
+    mf = jnp.asarray(params.move_force, dtype)
+    mfd = jnp.asarray(params.move_force * params.dash_multiplier, dtype)
+    fx, fy = [zero], [zero]
+    for p in range(2 * params.players_per_team):
+        ux, uy = _dir_unit(actions[p, 0], dtype)
+        mag = jnp.where(actions[p, 1] == ACT_DASH, mfd, mf)
+        fx.append(ux * mag)
+        fy.append(uy * mag)
+    return fx, fy
+
+
 def decode_forces(actions: jax.Array, params: EnvParams, dtype) -> jax.Array:
     """[n_players, 2] int actions -> [n_bodies, 2] forces (ball row = 0).
 
     SURVEY.md §3.3: "decode per-agent discrete action -> forces/impulses".
+    Array wrapper over :func:`decode_forces_scalars`.
     """
-    direction = actions[:, 0]
-    act = actions[:, 1]
-    unit = _DIRS.astype(dtype)[direction]                    # [P,2]
-    mag = jnp.where(
-        act == ACT_DASH,
-        jnp.asarray(params.move_force * params.dash_multiplier, dtype),
-        jnp.asarray(params.move_force, dtype),
-    )
-    player_forces = unit * mag[:, None]
-    ball_row = jnp.zeros((1, 2), dtype)
-    return jnp.concatenate([ball_row, player_forces], axis=0)
+    fx, fy = decode_forces_scalars(actions, params, dtype)
+    return jnp.stack([jnp.stack(fx), jnp.stack(fy)], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -77,32 +129,61 @@ def decode_forces(actions: jax.Array, params: EnvParams, dtype) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def update_possession_scalars(
+    px: list, py: list, possession: jax.Array, actions: jax.Array,
+    params: EnvParams, dtype,
+) -> jax.Array:
+    """Resolve possession bids (ACTION SPEC above) in scalar form.
+    Returns new owner body index ([] int32, -1 = loose ball)."""
+    n_players = 2 * params.players_per_team
+    bx, by = px[0], py[0]
+    radius = jnp.asarray(params.possession_radius, dtype)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    d, within, bids = [], [], []
+    for p in range(n_players):
+        dx = px[1 + p] - bx
+        dy = py[1 + p] - by
+        dp = jnp.sqrt(dx * dx + dy * dy)
+        w = dp <= radius
+        d.append(dp)
+        within.append(w)
+        bids.append((actions[p, 1] == ACT_PRESS) & w)
+
+    # nearest bidder wins; ties -> lowest player index (strict < keeps
+    # the earlier index on ties, matching argmin semantics)
+    best = jnp.asarray(0, jnp.int32)
+    best_d = jnp.where(bids[0], d[0], big)
+    any_bid = bids[0]
+    for p in range(1, n_players):
+        bd = jnp.where(bids[p], d[p], big)
+        take = bd < best_d
+        best = jnp.where(take, jnp.asarray(p, jnp.int32), best)
+        best_d = jnp.where(take, bd, best_d)
+        any_bid = any_bid | bids[p]
+    bid_winner = best + 1                                    # player idx -> body idx
+
+    # Current owner keeps the ball only while in reach.
+    owner_player = possession - 1
+    owner_within = within[0]
+    for p in range(1, n_players):
+        owner_within = jnp.where(owner_player == p, within[p], owner_within)
+    owner_within = jnp.where(possession > 0, owner_within, False)
+    keep = jnp.where(owner_within, possession, jnp.asarray(-1, jnp.int32))
+    return jnp.where(any_bid, bid_winner, keep)
+
+
 def update_possession(
     state_pos: jax.Array, possession: jax.Array, actions: jax.Array,
     params: EnvParams,
 ) -> jax.Array:
-    """Resolve possession bids (ACTION SPEC above). Returns new owner body
-    index ([] int32, -1 = loose ball)."""
-    dtype = state_pos.dtype
-    ball = state_pos[0]
-    players = state_pos[1:]
-    d = jnp.sqrt(jnp.sum((players - ball) ** 2, axis=-1))    # [P]
-    within = d <= jnp.asarray(params.possession_radius, dtype)
-    bids = (actions[:, 1] == ACT_PRESS) & within             # [P]
-
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-    bid_d = jnp.where(bids, d, big)
-    best = jnp.argmin(bid_d)                                 # nearest; ties -> lowest idx
-    any_bid = jnp.any(bids)
-    bid_winner = (best + 1).astype(jnp.int32)                # player idx -> body idx
-
-    # Current owner keeps the ball only while in reach.
-    owner_player = possession - 1                            # -2 if none (clipped below)
-    owner_within = jnp.where(
-        possession > 0, within[jnp.clip(owner_player, 0, d.shape[0] - 1)], False
+    """Array wrapper over :func:`update_possession_scalars`."""
+    n = state_pos.shape[0]
+    px = [state_pos[i, 0] for i in range(n)]
+    py = [state_pos[i, 1] for i in range(n)]
+    return update_possession_scalars(
+        px, py, possession, actions, params, state_pos.dtype
     )
-    keep = jnp.where(owner_within, possession, jnp.asarray(-1, jnp.int32))
-    return jnp.where(any_bid, bid_winner, keep)
 
 
 # ---------------------------------------------------------------------------
@@ -115,6 +196,89 @@ def _rot(v: jax.Array, theta: jax.Array) -> jax.Array:
     return jnp.stack([c * v[0] - s * v[1], s * v[0] + c * v[1]])
 
 
+def apply_kick_scalars(
+    px: list, py: list, vx: list, vy: list, possession: jax.Array,
+    actions: jax.Array, key: jax.Array, params: EnvParams, dtype,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Owner's pass/shoot in scalar form (no dynamic body gathers).
+
+    Returns (ball dvx, ball dvy, new possession) — the caller adds the
+    deltas into the ball's velocity scalars.
+    """
+    ppt = params.players_per_team
+    n_players = 2 * ppt
+    eps = jnp.asarray(1e-9, dtype)
+    zero = jnp.asarray(0.0, dtype)
+
+    has_owner = possession > 0
+    owner_p = jnp.clip(possession - 1, 0, n_players - 1)     # player index
+    owner_act = actions[0, 1]
+    for p in range(1, n_players):
+        owner_act = jnp.where(owner_p == p, actions[p, 1], owner_act)
+    do_pass = has_owner & (owner_act == ACT_PASS)
+    do_shoot = has_owner & (owner_act == ACT_SHOOT)
+
+    # owner position: one-hot select over static slices (body index;
+    # falls back to the ball row when unowned, like pos[possession.clip(0)])
+    ox, oy = px[0], py[0]
+    for b in range(1, n_players + 1):
+        ox = jnp.where(possession == b, px[b], ox)
+        oy = jnp.where(possession == b, py[b], oy)
+    owner_team = (owner_p >= ppt).astype(jnp.int32)          # 0 or 1
+    bx, by = px[0], py[0]
+
+    # shoot target: opponent goal mouth center
+    goal_x = jnp.where(
+        owner_team == 0, jnp.asarray(params.width, dtype), zero
+    )
+    sdx = goal_x - bx
+    sdy = jnp.asarray(params.height / 2.0, dtype) - by
+    snorm = jnp.maximum(jnp.sqrt(sdx * sdx + sdy * sdy), eps)
+    sdx, sdy = sdx / snorm, sdy / snorm
+
+    # pass target: nearest teammate of the owner (strict < keeps the
+    # earlier index on ties, matching argmin)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    mate_d = big
+    mx, my = px[1], py[1]
+    has_mate = jnp.asarray(False)
+    for p in range(n_players):
+        team_p = 1 if p >= ppt else 0
+        dx = px[1 + p] - ox
+        dy = py[1 + p] - oy
+        dp = jnp.sqrt(dx * dx + dy * dy)
+        is_mate = (owner_team == team_p) & (owner_p != p)
+        dp = jnp.where(is_mate, dp, big)
+        take = dp < mate_d
+        mx = jnp.where(take, px[1 + p], mx)
+        my = jnp.where(take, py[1 + p], my)
+        mate_d = jnp.where(take, dp, mate_d)
+        has_mate = has_mate | is_mate
+    pdx = mx - bx
+    pdy = my - by
+    pnorm = jnp.maximum(jnp.sqrt(pdx * pdx + pdy * pdy), eps)
+    pdx, pdy = pdx / pnorm, pdy / pnorm
+    # 1v1 has no teammate: fall back to shooting direction
+    pdx = jnp.where(has_mate, pdx, sdx)
+    pdy = jnp.where(has_mate, pdy, sdy)
+
+    theta = jax.random.normal(key, (), dtype) * jnp.asarray(params.kick_noise, dtype)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    kdx = jnp.where(do_shoot, c * sdx - s * sdy, c * pdx - s * pdy)
+    kdy = jnp.where(do_shoot, s * sdx + c * sdy, s * pdx + c * pdy)
+    power = jnp.where(
+        do_shoot, jnp.asarray(params.shoot_power, dtype),
+        jnp.asarray(params.pass_power, dtype),
+    )
+    kicked = do_pass | do_shoot
+    impulse = jnp.where(kicked, power, zero)
+    bm = jnp.asarray(params.ball_mass, dtype)
+    dvx = jnp.where(kicked, kdx * impulse / bm, zero)
+    dvy = jnp.where(kicked, kdy * impulse / bm, zero)
+    possession = jnp.where(kicked, jnp.asarray(-1, jnp.int32), possession)
+    return dvx, dvy, possession
+
+
 def apply_kick(
     pos: jax.Array, vel: jax.Array, possession: jax.Array,
     actions: jax.Array, key: jax.Array, params: EnvParams,
@@ -122,54 +286,17 @@ def apply_kick(
     """Owner's pass/shoot -> ball impulse + possession release.
 
     Returns (new ball velocity applied into vel, new possession).
+    Array wrapper over :func:`apply_kick_scalars`.
     """
-    dtype = pos.dtype
-    ppt = params.players_per_team
-    n_players = 2 * ppt
-    eps = jnp.asarray(1e-9, dtype)
-
-    has_owner = possession > 0
-    owner_p = jnp.clip(possession - 1, 0, n_players - 1)     # player index
-    owner_act = actions[owner_p, 1]
-    do_pass = has_owner & (owner_act == ACT_PASS)
-    do_shoot = has_owner & (owner_act == ACT_SHOOT)
-
-    owner_pos = pos[possession.clip(0)]                      # body index (safe: >0 when used)
-    owner_team = (owner_p >= ppt).astype(jnp.int32)          # 0 or 1
-    ball = pos[0]
-
-    # shoot target: opponent goal mouth center
-    goal_x = jnp.where(
-        owner_team == 0, jnp.asarray(params.width, dtype), jnp.asarray(0.0, dtype)
+    n = pos.shape[0]
+    px = [pos[i, 0] for i in range(n)]
+    py = [pos[i, 1] for i in range(n)]
+    vx = [vel[i, 0] for i in range(n)]
+    vy = [vel[i, 1] for i in range(n)]
+    dvx, dvy, possession = apply_kick_scalars(
+        px, py, vx, vy, possession, actions, key, params, pos.dtype
     )
-    goal = jnp.stack([goal_x, jnp.asarray(params.height / 2.0, dtype)])
-    shoot_dir = goal - ball
-    shoot_dir = shoot_dir / jnp.maximum(jnp.linalg.norm(shoot_dir), eps)
-
-    # pass target: nearest teammate of the owner
-    players = pos[1:]
-    team_of = (jnp.arange(n_players) >= ppt).astype(jnp.int32)
-    is_mate = (team_of == owner_team) & (jnp.arange(n_players) != owner_p)
-    d_mate = jnp.sqrt(jnp.sum((players - owner_pos) ** 2, axis=-1))
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-    mate = jnp.argmin(jnp.where(is_mate, d_mate, big))
-    pass_dir = players[mate] - ball
-    pass_dir = pass_dir / jnp.maximum(jnp.linalg.norm(pass_dir), eps)
-    # 1v1 has no teammate: fall back to shooting direction
-    has_mate = jnp.any(is_mate)
-    pass_dir = jnp.where(has_mate, pass_dir, shoot_dir)
-
-    theta = jax.random.normal(key, (), dtype) * jnp.asarray(params.kick_noise, dtype)
-    kick_dir = jnp.where(do_shoot, _rot(shoot_dir, theta), _rot(pass_dir, theta))
-    power = jnp.where(
-        do_shoot, jnp.asarray(params.shoot_power, dtype),
-        jnp.asarray(params.pass_power, dtype),
-    )
-    kicked = do_pass | do_shoot
-    impulse = jnp.where(kicked, power, jnp.asarray(0.0, dtype))
-    dv = kick_dir * impulse / jnp.asarray(params.ball_mass, dtype)
-    vel = vel.at[0].add(jnp.where(kicked, dv, jnp.zeros_like(dv)))
-    possession = jnp.where(kicked, jnp.asarray(-1, jnp.int32), possession)
+    vel = vel.at[0].add(jnp.stack([dvx, dvy]))
     return vel, possession
 
 
@@ -178,43 +305,81 @@ def apply_kick(
 # ---------------------------------------------------------------------------
 
 
-def apply_dribble(
-    pos: jax.Array, vel: jax.Array, possession: jax.Array,
-    actions: jax.Array, params: EnvParams,
-) -> tuple[jax.Array, jax.Array]:
-    """Carry the ball with its owner (post-physics override, ACTION SPEC)."""
-    dtype = pos.dtype
+def apply_dribble_scalars(
+    px: list, py: list, vx: list, vy: list, possession: jax.Array,
+    actions: jax.Array, params: EnvParams, dtype,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Carry the ball with its owner, scalar form (ACTION SPEC).
+    Returns the ball's new (px, py, vx, vy) scalars."""
     ppt = params.players_per_team
+    n_players = 2 * ppt
     has_owner = possession > 0
-    owner_b = possession.clip(0)
-    owner_p = jnp.clip(possession - 1, 0, 2 * ppt - 1)
+    owner_p = jnp.clip(possession - 1, 0, n_players - 1)
 
-    direction = actions[owner_p, 0]
-    unit = _DIRS.astype(dtype)[direction]
+    direction = actions[0, 0]
+    for p in range(1, n_players):
+        direction = jnp.where(owner_p == p, actions[p, 0], direction)
+    ux, uy = _dir_unit(direction, dtype)
     # facing fallback: team 0 faces +x, team 1 faces -x
     owner_team = (owner_p >= ppt).astype(jnp.int32)
-    fallback = jnp.where(
-        owner_team == 0,
-        jnp.asarray([1.0, 0.0], dtype),
-        jnp.asarray([-1.0, 0.0], dtype),
-    )
-    moving = jnp.any(unit != 0)
-    carry_dir = jnp.where(moving, unit, fallback)
+    one = jnp.asarray(1.0, dtype)
+    fbx = jnp.where(owner_team == 0, one, -one)
+    moving = (ux != 0) | (uy != 0)
+    cdx = jnp.where(moving, ux, fbx)
+    cdy = jnp.where(moving, uy, jnp.asarray(0.0, dtype))
+
+    # owner position/velocity: one-hot select over static slices
+    ox, oy, ovx, ovy = px[0], py[0], vx[0], vy[0]
+    for b in range(1, n_players + 1):
+        is_b = possession == b
+        ox = jnp.where(is_b, px[b], ox)
+        oy = jnp.where(is_b, py[b], oy)
+        ovx = jnp.where(is_b, vx[b], ovx)
+        ovy = jnp.where(is_b, vy[b], ovy)
 
     offset = jnp.asarray(
         params.player_radius + params.ball_radius + params.dribble_offset, dtype
     )
-    carried_pos = pos[owner_b] + carry_dir * offset
-    carried_vel = vel[owner_b]
+    ball_px = jnp.where(has_owner, ox + cdx * offset, px[0])
+    ball_py = jnp.where(has_owner, oy + cdy * offset, py[0])
+    ball_vx = jnp.where(has_owner, ovx, vx[0])
+    ball_vy = jnp.where(has_owner, ovy, vy[0])
+    return ball_px, ball_py, ball_vx, ball_vy
 
-    new_ball_pos = jnp.where(has_owner, carried_pos, pos[0])
-    new_ball_vel = jnp.where(has_owner, carried_vel, vel[0])
-    return pos.at[0].set(new_ball_pos), vel.at[0].set(new_ball_vel)
+
+def apply_dribble(
+    pos: jax.Array, vel: jax.Array, possession: jax.Array,
+    actions: jax.Array, params: EnvParams,
+) -> tuple[jax.Array, jax.Array]:
+    """Carry the ball with its owner (post-physics override, ACTION SPEC).
+    Array wrapper over :func:`apply_dribble_scalars`."""
+    n = pos.shape[0]
+    px = [pos[i, 0] for i in range(n)]
+    py = [pos[i, 1] for i in range(n)]
+    vx = [vel[i, 0] for i in range(n)]
+    vy = [vel[i, 1] for i in range(n)]
+    bpx, bpy, bvx, bvy = apply_dribble_scalars(
+        px, py, vx, vy, possession, actions, params, pos.dtype
+    )
+    return (
+        pos.at[0].set(jnp.stack([bpx, bpy])),
+        vel.at[0].set(jnp.stack([bvx, bvy])),
+    )
 
 
 # ---------------------------------------------------------------------------
 # Goals, OOB, kickoff reset
 # ---------------------------------------------------------------------------
+
+
+def detect_goal_scalars(
+    ball_x: jax.Array, ball_y: jax.Array, params: EnvParams
+) -> tuple[jax.Array, jax.Array]:
+    """(team0_scored, team1_scored) bool scalars. GOAL SPEC above."""
+    in_mouth = (ball_y >= params.goal_y_lo) & (ball_y <= params.goal_y_hi)
+    g0 = (ball_x > params.width) & in_mouth   # team 0 scores on right goal
+    g1 = (ball_x < 0.0) & in_mouth            # team 1 scores on left goal
+    return g0, g1
 
 
 def detect_goal(pos: jax.Array, params: EnvParams) -> jax.Array:
@@ -223,11 +388,42 @@ def detect_goal(pos: jax.Array, params: EnvParams) -> jax.Array:
     GOAL SPEC above; SURVEY.md §3.3 "goal check: ball x beyond goal line
     within goal mouth".
     """
-    x, y = pos[0, 0], pos[0, 1]
-    in_mouth = (y >= params.goal_y_lo) & (y <= params.goal_y_hi)
-    g0 = (x > params.width) & in_mouth    # team 0 scores on right goal
-    g1 = (x < 0.0) & in_mouth             # team 1 scores on left goal
+    g0, g1 = detect_goal_scalars(pos[0, 0], pos[0, 1], params)
     return jnp.stack([g0, g1])
+
+
+def clamp_oob_scalars(
+    px: list, py: list, vx: list, vy: list, params: EnvParams, dtype,
+) -> tuple[list, list, list, list, jax.Array]:
+    """Clamp bodies into the field, scalar form. Returns updated lists +
+    ball_was_clamped. Semantics as :func:`clamp_oob`."""
+    n = len(px)
+    zero = jnp.asarray(0.0, dtype)
+    w = jnp.asarray(params.width, dtype)
+    h = jnp.asarray(params.height, dtype)
+    px, py, vx, vy = list(px), list(py), list(vx), list(vy)
+
+    ball_y = py[0]
+    in_mouth = (ball_y >= params.goal_y_lo) & (ball_y <= params.goal_y_hi)
+
+    ball_was_clamped = None
+    for i in range(n):
+        r = jnp.asarray(
+            params.ball_radius if i == 0 else params.player_radius, dtype
+        )
+        cx = jnp.clip(px[i], r, w - r)
+        cy = jnp.clip(py[i], r, h - r)
+        if i == 0:
+            cx = jnp.where(in_mouth, px[0], cx)  # free x inside the mouth
+        moved_x = jnp.abs(cx - px[i]) > 0
+        moved_y = jnp.abs(cy - py[i]) > 0
+        # zero the velocity component that got clamped (plastic wall)
+        vx[i] = jnp.where(moved_x, zero, vx[i])
+        vy[i] = jnp.where(moved_y, zero, vy[i])
+        px[i], py[i] = cx, cy
+        if i == 0:
+            ball_was_clamped = moved_x | moved_y
+    return px, py, vx, vy, ball_was_clamped
 
 
 def clamp_oob(
@@ -237,32 +433,20 @@ def clamp_oob(
 
     Players are always clamped. The ball is clamped in y, and in x only
     outside the goal mouth (a ball inside the mouth is about to be a
-    goal). Returns (pos, vel, ball_was_clamped).
+    goal). Returns (pos, vel, ball_was_clamped). Array wrapper over
+    :func:`clamp_oob_scalars`.
     """
-    dtype = pos.dtype
-    n_bodies = pos.shape[0]
-    r = jnp.concatenate([
-        jnp.asarray([params.ball_radius], dtype),
-        jnp.full((n_bodies - 1,), params.player_radius, dtype),
-    ])
-    lo = jnp.stack([r, r], axis=-1)
-    hi = jnp.stack(
-        [jnp.asarray(params.width, dtype) - r, jnp.asarray(params.height, dtype) - r],
-        axis=-1,
+    n = pos.shape[0]
+    px = [pos[i, 0] for i in range(n)]
+    py = [pos[i, 1] for i in range(n)]
+    vx = [vel[i, 0] for i in range(n)]
+    vy = [vel[i, 1] for i in range(n)]
+    px, py, vx, vy, ball_was_clamped = clamp_oob_scalars(
+        px, py, vx, vy, params, pos.dtype
     )
-    clamped = jnp.clip(pos, lo, hi)
-
-    ball_y = pos[0, 1]
-    in_mouth = (ball_y >= params.goal_y_lo) & (ball_y <= params.goal_y_hi)
-    # ball: free x while in mouth, else clamped
-    ball_new = jnp.where(
-        in_mouth, jnp.stack([pos[0, 0], clamped[0, 1]]), clamped[0]
-    )
-    out = clamped.at[0].set(ball_new)
-    ball_was_clamped = jnp.any(jnp.abs(out[0] - pos[0]) > 0)
-    # zero the velocity component that got clamped (plastic wall fallback)
-    vel = jnp.where(jnp.abs(out - pos) > 0, jnp.zeros_like(vel), vel)
-    return out, vel, ball_was_clamped
+    out = jnp.stack([jnp.stack(px), jnp.stack(py)], axis=-1)
+    new_vel = jnp.stack([jnp.stack(vx), jnp.stack(vy)], axis=-1)
+    return out, new_vel, ball_was_clamped
 
 
 def kickoff_positions(
@@ -295,32 +479,41 @@ def kickoff_positions(
 # ---------------------------------------------------------------------------
 
 
-def _ball_goal_dist(pos: jax.Array, params: EnvParams, team: int) -> jax.Array:
+def _ball_goal_dist_scalar(
+    bx: jax.Array, by: jax.Array, params: EnvParams, team: int, dtype
+) -> jax.Array:
     """Distance from ball to the goal *team* attacks."""
-    dtype = pos.dtype
-    gx = params.width if team == 0 else 0.0
-    goal = jnp.asarray([gx, params.height / 2.0], dtype)
-    return jnp.linalg.norm(pos[0] - goal)
+    gx = jnp.asarray(params.width if team == 0 else 0.0, dtype)
+    gy = jnp.asarray(params.height / 2.0, dtype)
+    dx = bx - gx
+    dy = by - gy
+    return jnp.sqrt(dx * dx + dy * dy)
 
 
-def _nearest_player_ball_dist(
-    pos: jax.Array, params: EnvParams, team: int
+def _nearest_player_ball_dist_scalar(
+    px: list, py: list, params: EnvParams, team: int
 ) -> jax.Array:
     ppt = params.players_per_team
-    sl = slice(1, 1 + ppt) if team == 0 else slice(1 + ppt, 1 + 2 * ppt)
-    d = jnp.sqrt(jnp.sum((pos[sl] - pos[0]) ** 2, axis=-1))
-    return jnp.min(d)
+    lo = 1 + team * ppt
+    best = None
+    for b in range(lo, lo + ppt):
+        dx = px[b] - px[0]
+        dy = py[b] - py[0]
+        d = jnp.sqrt(dx * dx + dy * dy)
+        best = d if best is None else jnp.minimum(best, d)
+    return best
 
 
-def shaped_rewards(
-    pos_before: jax.Array, pos_after: jax.Array, possession: jax.Array,
-    goals: jax.Array, ball_clamped: jax.Array, params: EnvParams,
-) -> jax.Array:
-    """[2] per-team shaped reward (SURVEY.md §2.1 #8; coefficients in
-    :class:`RewardConfig` are our spec, driver-compatible)."""
-    dtype = pos_before.dtype
+def shaped_rewards_scalars(
+    px0: list, py0: list, px1: list, py1: list, possession: jax.Array,
+    goal0: jax.Array, goal1: jax.Array, ball_clamped: jax.Array,
+    params: EnvParams, dtype,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-team shaped reward in scalar form; (team0, team1) scalars.
+    Coefficient semantics as :func:`shaped_rewards`."""
     rc = params.rewards
     ppt = params.players_per_team
+    goals = (goal0, goal1)
 
     rews = []
     for team in (0, 1):
@@ -329,12 +522,12 @@ def shaped_rewards(
         r = r + jnp.where(goals[team], jnp.asarray(rc.goal, dtype), 0.0)
         r = r + jnp.where(goals[1 - team], jnp.asarray(rc.concede, dtype), 0.0)
         # ball progressed toward the goal we attack
-        d0 = _ball_goal_dist(pos_before, params, team)
-        d1 = _ball_goal_dist(pos_after, params, team)
+        d0 = _ball_goal_dist_scalar(px0[0], py0[0], params, team, dtype)
+        d1 = _ball_goal_dist_scalar(px1[0], py1[0], params, team, dtype)
         r = r + jnp.asarray(rc.ball_to_goal_delta, dtype) * (d0 - d1)
         # nearest player closed on the ball
-        p0 = _nearest_player_ball_dist(pos_before, params, team)
-        p1 = _nearest_player_ball_dist(pos_after, params, team)
+        p0 = _nearest_player_ball_dist_scalar(px0, py0, params, team)
+        p1 = _nearest_player_ball_dist_scalar(px1, py1, params, team)
         r = r + jnp.asarray(rc.player_to_ball_delta, dtype) * (p0 - p1)
         # possession
         owner_p = possession - 1
@@ -345,4 +538,24 @@ def shaped_rewards(
         # ball forced back in bounds
         r = r + jnp.where(ball_clamped, jnp.asarray(rc.oob_penalty, dtype), 0.0)
         rews.append(r)
-    return jnp.stack(rews)
+    return rews[0], rews[1]
+
+
+def shaped_rewards(
+    pos_before: jax.Array, pos_after: jax.Array, possession: jax.Array,
+    goals: jax.Array, ball_clamped: jax.Array, params: EnvParams,
+) -> jax.Array:
+    """[2] per-team shaped reward (SURVEY.md §2.1 #8; coefficients in
+    :class:`RewardConfig` are our spec, driver-compatible). Array wrapper
+    over :func:`shaped_rewards_scalars`."""
+    dtype = pos_before.dtype
+    n = pos_before.shape[0]
+    px0 = [pos_before[i, 0] for i in range(n)]
+    py0 = [pos_before[i, 1] for i in range(n)]
+    px1 = [pos_after[i, 0] for i in range(n)]
+    py1 = [pos_after[i, 1] for i in range(n)]
+    r0, r1 = shaped_rewards_scalars(
+        px0, py0, px1, py1, possession, goals[0], goals[1], ball_clamped,
+        params, dtype,
+    )
+    return jnp.stack([r0, r1])

@@ -299,12 +299,57 @@ def solve_contacts(
     return jnp.stack([jnp.stack(vx), jnp.stack(vy)], axis=-1)
 
 
-def _substep(carry, _, params: EnvParams, inv_mass, radii, elas, dt_sub):
-    pos, vel, forces = carry
-    vel = integrate_velocity(vel, forces, inv_mass, params, dt_sub)
-    vel = solve_contacts(pos, vel, params, inv_mass, radii, elas)
-    pos = pos + vel * jnp.asarray(dt_sub, pos.dtype)
-    return (pos, vel, forces), None
+def physics_step_scalars(
+    px: list, py: list, vx: list, vy: list, fx: list, fy: list,
+    params: EnvParams, dtype,
+) -> tuple[list, list, list, list]:
+    """The full physics step in scalar-SSA form (the TPU hot path).
+
+    Inputs/outputs are per-body scalar lists — under ``vmap`` each scalar
+    is a dense [B] lane vector, so the whole step is pack/unpack-free
+    when the caller (env.step) also runs in scalar form. Bit-identical
+    to :func:`physics_step`: the same formulas in the same order, applied
+    per coordinate.
+    """
+    n = len(px)
+    masses = body_masses(params, dtype)
+    radii = body_radii(params, dtype)
+    elas = body_elasticities(params, dtype)
+    inv_m = [(1.0 / masses[i]).astype(dtype) for i in range(n)]
+    radii_f = [radii[i] for i in range(n)]
+    elas_f = [elas[i] for i in range(n)]
+    dt_sub = params.dt / params.substeps
+    dt_c = jnp.asarray(dt_sub, dtype)
+    damp = jnp.asarray(params.damping, dtype) ** jnp.asarray(dt_sub, dtype)
+    one = jnp.asarray(1.0, dtype)
+    eps = jnp.asarray(1e-12, dtype)
+    max_sp = jnp.asarray(params.max_speed, dtype)
+
+    def substep(carry, _):
+        px, py, vx, vy = (list(t) for t in carry)
+        # Spec item 1: velocity integration + speed clamp, per body.
+        for i in range(n):
+            nvx = vx[i] * damp + fx[i] * inv_m[i] * dt_c
+            nvy = vy[i] * damp + fy[i] * inv_m[i] * dt_c
+            speed = jnp.sqrt(nvx * nvx + nvy * nvy)
+            scale = jnp.minimum(one, max_sp / jnp.maximum(speed, eps))
+            vx[i] = nvx * scale
+            vy[i] = nvy * scale
+        # Spec items 2-3: contacts.
+        vx, vy = _solve_contacts_scalar(
+            px, py, vx, vy, params, inv_m, radii_f, elas_f, dtype
+        )
+        # Spec item 4: position integration.
+        for i in range(n):
+            px[i] = px[i] + vx[i] * dt_c
+            py[i] = py[i] + vy[i] * dt_c
+        return (tuple(px), tuple(py), tuple(vx), tuple(vy)), None
+
+    (px, py, vx, vy), _ = jax.lax.scan(
+        substep, (tuple(px), tuple(py), tuple(vx), tuple(vy)), None,
+        length=params.substeps,
+    )
+    return list(px), list(py), list(vx), list(vy)
 
 
 @partial(jax.jit, static_argnames=("params",))
@@ -316,18 +361,18 @@ def physics_step(
     pos/vel/forces: [n_bodies, 2]. Forces are held constant across the
     ``params.substeps`` sub-steps and implicitly cleared by the caller
     passing fresh forces next step (Chipmunk clears forces post-step).
+    Array wrapper over :func:`physics_step_scalars` (single source of
+    truth for the integration semantics).
     """
+    n = pos.shape[0]
     dtype = pos.dtype
-    inv_mass = (1.0 / body_masses(params, dtype)).astype(dtype)
-    radii = body_radii(params, dtype)
-    elas = body_elasticities(params, dtype)
-    dt_sub = params.dt / params.substeps
-
-    step = partial(
-        _substep, params=params, inv_mass=inv_mass, radii=radii, elas=elas,
-        dt_sub=dt_sub,
-    )
-    (pos, vel, _), _ = jax.lax.scan(
-        step, (pos, vel, forces), None, length=params.substeps
-    )
+    px = [pos[i, 0] for i in range(n)]
+    py = [pos[i, 1] for i in range(n)]
+    vx = [vel[i, 0] for i in range(n)]
+    vy = [vel[i, 1] for i in range(n)]
+    fx = [forces[i, 0] for i in range(n)]
+    fy = [forces[i, 1] for i in range(n)]
+    px, py, vx, vy = physics_step_scalars(px, py, vx, vy, fx, fy, params, dtype)
+    pos = jnp.stack([jnp.stack(px), jnp.stack(py)], axis=-1)
+    vel = jnp.stack([jnp.stack(vx), jnp.stack(vy)], axis=-1)
     return pos, vel

@@ -32,6 +32,8 @@ def main() -> None:
     ap.add_argument("--checkpoint-dir", type=str, default=None)
     ap.add_argument("--checkpoint-every", type=int, default=25)
     ap.add_argument("--log-every", type=int, default=1)
+    ap.add_argument("--log-dir", type=str, default=None,
+                    help="write metrics.jsonl (+ TensorBoard if available)")
     ap.add_argument("--distributed", action="store_true",
                     help="call jax.distributed.initialize() (multi-host)")
     args = ap.parse_args()
@@ -84,6 +86,10 @@ def main() -> None:
             runner = restored
             print(f"# resumed from iteration {start_iter}")
 
+    from .utils.metrics import MetricsLogger
+
+    mlog = MetricsLogger(args.log_dir if jax.process_index() == 0 else None)
+
     steps_per_iter = args.envs * cfg.rollout_steps
     t_start = time.perf_counter()
     for it in range(args.iters):
@@ -92,11 +98,11 @@ def main() -> None:
         metrics = jax.tree.map(float, jax.device_get(metrics))
         dt = time.perf_counter() - t0
         if it % args.log_every == 0 and jax.process_index() == 0:
-            print(json.dumps({
-                "iter": it,
+            record = mlog.write(it, {
                 "env_steps_per_sec": round(steps_per_iter / dt),
                 **{k: round(v, 5) for k, v in metrics.items()},
-            }))
+            })
+            print(json.dumps(record))
         if ckpt and (it + 1) % args.checkpoint_every == 0:
             ckpt.save(runner, it + 1)
 
