@@ -111,12 +111,16 @@ def step(
     px_before, py_before = list(px), list(py)
 
     # 2-4: intent
-    fx, fy = game.decode_forces_scalars(actions, params, dtype)
+    dirs, acts = game.split_actions(actions, params)
+    fx, fy = game.decode_forces_scalars(dirs, acts, params, dtype)
     possession = game.update_possession_scalars(
-        px, py, state.possession, actions, params, dtype
+        px, py, state.possession, acts, params, dtype
+    )
+    theta = jax.random.normal(k_kick, (), dtype) * jnp.asarray(
+        params.kick_noise, dtype
     )
     dvx, dvy, possession = game.apply_kick_scalars(
-        px, py, vx, vy, possession, actions, k_kick, params, dtype
+        px, py, vx, vy, possession, acts, theta, params, dtype
     )
     vx[0] = vx[0] + dvx
     vy[0] = vy[0] + dvy
@@ -126,7 +130,7 @@ def step(
         px, py, vx, vy, fx, fy, params, dtype
     )
     px[0], py[0], vx[0], vy[0] = game.apply_dribble_scalars(
-        px, py, vx, vy, possession, actions, params, dtype
+        px, py, vx, vy, possession, dirs, params, dtype
     )
 
     # 7-8: goals and bounds

@@ -97,21 +97,32 @@ def _dir_unit(direction: jax.Array, dtype) -> tuple[jax.Array, jax.Array]:
 
 
 def decode_forces_scalars(
-    actions: jax.Array, params: EnvParams, dtype
+    dirs: list, acts: list, params: EnvParams, dtype
 ) -> tuple[list, list]:
     """Scalar-form action decode: per-body force scalars (fx, fy) lists,
-    ball first (zero). Under vmap each scalar is a dense [B] vector —
-    no [B, n_bodies, 2] intermediates (see parity/ablate_step.py)."""
+    ball first (zero). ``dirs``/``acts`` are per-player int scalars. Under
+    vmap each scalar is a dense [B] vector — no [B, n_bodies, 2]
+    intermediates (see parity/ablate_step.py). Shared verbatim by the
+    Pallas fused-rollout kernel (each scalar is an [8,128] env tile there).
+    """
     zero = jnp.asarray(0.0, dtype)
     mf = jnp.asarray(params.move_force, dtype)
     mfd = jnp.asarray(params.move_force * params.dash_multiplier, dtype)
     fx, fy = [zero], [zero]
     for p in range(2 * params.players_per_team):
-        ux, uy = _dir_unit(actions[p, 0], dtype)
-        mag = jnp.where(actions[p, 1] == ACT_DASH, mfd, mf)
+        ux, uy = _dir_unit(dirs[p], dtype)
+        mag = jnp.where(acts[p] == ACT_DASH, mfd, mf)
         fx.append(ux * mag)
         fy.append(uy * mag)
     return fx, fy
+
+
+def split_actions(actions: jax.Array, params: EnvParams) -> tuple[list, list]:
+    """[n_players, 2] action array -> (dirs, acts) per-player scalar lists."""
+    n_players = 2 * params.players_per_team
+    dirs = [actions[p, 0] for p in range(n_players)]
+    acts = [actions[p, 1] for p in range(n_players)]
+    return dirs, acts
 
 
 def decode_forces(actions: jax.Array, params: EnvParams, dtype) -> jax.Array:
@@ -120,7 +131,8 @@ def decode_forces(actions: jax.Array, params: EnvParams, dtype) -> jax.Array:
     SURVEY.md §3.3: "decode per-agent discrete action -> forces/impulses".
     Array wrapper over :func:`decode_forces_scalars`.
     """
-    fx, fy = decode_forces_scalars(actions, params, dtype)
+    dirs, acts = split_actions(actions, params)
+    fx, fy = decode_forces_scalars(dirs, acts, params, dtype)
     return jnp.stack([jnp.stack(fx), jnp.stack(fy)], axis=-1)
 
 
@@ -130,7 +142,7 @@ def decode_forces(actions: jax.Array, params: EnvParams, dtype) -> jax.Array:
 
 
 def update_possession_scalars(
-    px: list, py: list, possession: jax.Array, actions: jax.Array,
+    px: list, py: list, possession: jax.Array, acts: list,
     params: EnvParams, dtype,
 ) -> jax.Array:
     """Resolve possession bids (ACTION SPEC above) in scalar form.
@@ -148,7 +160,7 @@ def update_possession_scalars(
         w = dp <= radius
         d.append(dp)
         within.append(w)
-        bids.append((actions[p, 1] == ACT_PRESS) & w)
+        bids.append((acts[p] == ACT_PRESS) & w)
 
     # nearest bidder wins; ties -> lowest player index (strict < keeps
     # the earlier index on ties, matching argmin semantics)
@@ -163,13 +175,20 @@ def update_possession_scalars(
         any_bid = any_bid | bids[p]
     bid_winner = best + 1                                    # player idx -> body idx
 
-    # Current owner keeps the ball only while in reach.
+    # Current owner keeps the ball only while in reach. The select chain
+    # runs on int32 0/1 flags, not bool values — Mosaic (the Pallas TPU
+    # compiler, which traces this function inside the fused kernel) does
+    # not lower selects whose *values* are i1 vectors.
     owner_player = possession - 1
-    owner_within = within[0]
+    owner_within = within[0].astype(jnp.int32)
     for p in range(1, n_players):
-        owner_within = jnp.where(owner_player == p, within[p], owner_within)
-    owner_within = jnp.where(possession > 0, owner_within, False)
-    keep = jnp.where(owner_within, possession, jnp.asarray(-1, jnp.int32))
+        owner_within = jnp.where(
+            owner_player == p, within[p].astype(jnp.int32), owner_within
+        )
+    keep = jnp.where(
+        (possession > 0) & (owner_within > 0),
+        possession, jnp.asarray(-1, jnp.int32),
+    )
     return jnp.where(any_bid, bid_winner, keep)
 
 
@@ -181,8 +200,9 @@ def update_possession(
     n = state_pos.shape[0]
     px = [state_pos[i, 0] for i in range(n)]
     py = [state_pos[i, 1] for i in range(n)]
+    _, acts = split_actions(actions, params)
     return update_possession_scalars(
-        px, py, possession, actions, params, state_pos.dtype
+        px, py, possession, acts, params, state_pos.dtype
     )
 
 
@@ -198,12 +218,16 @@ def _rot(v: jax.Array, theta: jax.Array) -> jax.Array:
 
 def apply_kick_scalars(
     px: list, py: list, vx: list, vy: list, possession: jax.Array,
-    actions: jax.Array, key: jax.Array, params: EnvParams, dtype,
+    acts: list, theta: jax.Array, params: EnvParams, dtype,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Owner's pass/shoot in scalar form (no dynamic body gathers).
 
-    Returns (ball dvx, ball dvy, new possession) — the caller adds the
-    deltas into the ball's velocity scalars.
+    ``theta`` is the pre-drawn angular noise (standard normal already
+    scaled by ``params.kick_noise``) — injected rather than drawn here so
+    the jnp path (jax.random) and the Pallas fused kernel (on-core PRNG)
+    share this function verbatim. Returns (ball dvx, ball dvy, new
+    possession) — the caller adds the deltas into the ball's velocity
+    scalars.
     """
     ppt = params.players_per_team
     n_players = 2 * ppt
@@ -212,9 +236,9 @@ def apply_kick_scalars(
 
     has_owner = possession > 0
     owner_p = jnp.clip(possession - 1, 0, n_players - 1)     # player index
-    owner_act = actions[0, 1]
+    owner_act = acts[0]
     for p in range(1, n_players):
-        owner_act = jnp.where(owner_p == p, actions[p, 1], owner_act)
+        owner_act = jnp.where(owner_p == p, acts[p], owner_act)
     do_pass = has_owner & (owner_act == ACT_PASS)
     do_shoot = has_owner & (owner_act == ACT_SHOOT)
 
@@ -262,7 +286,6 @@ def apply_kick_scalars(
     pdx = jnp.where(has_mate, pdx, sdx)
     pdy = jnp.where(has_mate, pdy, sdy)
 
-    theta = jax.random.normal(key, (), dtype) * jnp.asarray(params.kick_noise, dtype)
     c, s = jnp.cos(theta), jnp.sin(theta)
     kdx = jnp.where(do_shoot, c * sdx - s * sdy, c * pdx - s * pdy)
     kdy = jnp.where(do_shoot, s * sdx + c * sdy, s * pdx + c * pdy)
@@ -289,12 +312,17 @@ def apply_kick(
     Array wrapper over :func:`apply_kick_scalars`.
     """
     n = pos.shape[0]
+    dtype = pos.dtype
     px = [pos[i, 0] for i in range(n)]
     py = [pos[i, 1] for i in range(n)]
     vx = [vel[i, 0] for i in range(n)]
     vy = [vel[i, 1] for i in range(n)]
+    _, acts = split_actions(actions, params)
+    theta = jax.random.normal(key, (), dtype) * jnp.asarray(
+        params.kick_noise, dtype
+    )
     dvx, dvy, possession = apply_kick_scalars(
-        px, py, vx, vy, possession, actions, key, params, pos.dtype
+        px, py, vx, vy, possession, acts, theta, params, dtype
     )
     vel = vel.at[0].add(jnp.stack([dvx, dvy]))
     return vel, possession
@@ -307,7 +335,7 @@ def apply_kick(
 
 def apply_dribble_scalars(
     px: list, py: list, vx: list, vy: list, possession: jax.Array,
-    actions: jax.Array, params: EnvParams, dtype,
+    dirs: list, params: EnvParams, dtype,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Carry the ball with its owner, scalar form (ACTION SPEC).
     Returns the ball's new (px, py, vx, vy) scalars."""
@@ -316,9 +344,9 @@ def apply_dribble_scalars(
     has_owner = possession > 0
     owner_p = jnp.clip(possession - 1, 0, n_players - 1)
 
-    direction = actions[0, 0]
+    direction = dirs[0]
     for p in range(1, n_players):
-        direction = jnp.where(owner_p == p, actions[p, 0], direction)
+        direction = jnp.where(owner_p == p, dirs[p], direction)
     ux, uy = _dir_unit(direction, dtype)
     # facing fallback: team 0 faces +x, team 1 faces -x
     owner_team = (owner_p >= ppt).astype(jnp.int32)
@@ -358,8 +386,9 @@ def apply_dribble(
     py = [pos[i, 1] for i in range(n)]
     vx = [vel[i, 0] for i in range(n)]
     vy = [vel[i, 1] for i in range(n)]
+    dirs, _ = split_actions(actions, params)
     bpx, bpy, bvx, bvy = apply_dribble_scalars(
-        px, py, vx, vy, possession, actions, params, pos.dtype
+        px, py, vx, vy, possession, dirs, params, pos.dtype
     )
     return (
         pos.at[0].set(jnp.stack([bpx, bpy])),
@@ -449,28 +478,43 @@ def clamp_oob(
     return out, new_vel, ball_was_clamped
 
 
+def kickoff_scalars(
+    noise_x: list, noise_y: list, params: EnvParams, dtype
+) -> tuple[list, list]:
+    """Kickoff placement in scalar form: ball at center, teams in mirrored
+    columns at width/4 and 3*width/4 spread in y, all jittered by
+    ``placement_noise * height * noise`` where ``noise_x/noise_y`` are
+    per-body uniforms in [-1, 1] (ball first). Shared by the jnp path
+    (jax.random noise) and the Pallas fused kernel (on-core PRNG noise).
+    Returns (px, py) per-body scalar lists; velocities are zero."""
+    ppt = params.players_per_team
+    w, h = params.width, params.height
+    amp = jnp.asarray(params.placement_noise * h, dtype)
+
+    px = [jnp.asarray(w / 2.0, dtype) + noise_x[0] * amp]
+    py = [jnp.asarray(h / 2.0, dtype) + noise_y[0] * amp]
+    for team, base_x in ((0, w / 4.0), (1, 3.0 * w / 4.0)):
+        for k in range(ppt):
+            b = 1 + team * ppt + k
+            y0 = (k + 1.0) * (h / (ppt + 1.0))
+            px.append(jnp.asarray(base_x, dtype) + noise_x[b] * amp)
+            py.append(jnp.asarray(y0, dtype) + noise_y[b] * amp)
+    return px, py
+
+
 def kickoff_positions(
     key: jax.Array, params: EnvParams, dtype=jnp.float32
 ) -> tuple[jax.Array, jax.Array]:
-    """Initial / post-goal placement (SURVEY.md §3.2): ball at center with
-    noise, teams in mirrored columns at width/4 and 3*width/4 spread in y.
+    """Initial / post-goal placement (SURVEY.md §3.2). Array wrapper over
+    :func:`kickoff_scalars` with jax.random noise.
     Returns (pos [n_bodies,2], vel zeros)."""
-    ppt = params.players_per_team
-    w, h = params.width, params.height
-
-    kb, kp = jax.random.split(key)
-    ball = jnp.asarray([w / 2.0, h / 2.0], dtype) + jax.random.uniform(
-        kb, (2,), dtype, -1.0, 1.0
-    ) * jnp.asarray(0.02 * h, dtype)
-
-    ys = (jnp.arange(ppt, dtype=dtype) + 1.0) * (h / (ppt + 1.0))
-    team0 = jnp.stack([jnp.full((ppt,), w / 4.0, dtype), ys], axis=-1)
-    team1 = jnp.stack([jnp.full((ppt,), 3.0 * w / 4.0, dtype), ys], axis=-1)
-    noise = jax.random.uniform(kp, (2 * ppt, 2), dtype, -1.0, 1.0) * jnp.asarray(
-        0.02 * h, dtype
+    n = params.n_bodies
+    noise = jax.random.uniform(key, (n, 2), dtype, -1.0, 1.0)
+    px, py = kickoff_scalars(
+        [noise[i, 0] for i in range(n)], [noise[i, 1] for i in range(n)],
+        params, dtype,
     )
-    players = jnp.concatenate([team0, team1], axis=0) + noise
-    pos = jnp.concatenate([ball[None], players], axis=0)
+    pos = jnp.stack([jnp.stack(px), jnp.stack(py)], axis=-1)
     return pos, jnp.zeros_like(pos)
 
 

@@ -59,11 +59,15 @@ def shard_rollout(
 
 
 def shard_train_iteration(
-    mesh: Mesh, model, env_params: EnvParams, cfg: PPOConfig, tx
+    mesh: Mesh, model, env_params: EnvParams, cfg, tx,
+    iteration_fn=train_iteration,
 ):
-    """shard_map'd full PPO iteration: envs + trajectories device-local,
-    model/opt state replicated, grads pmean'd over 'env'.
+    """shard_map'd full training iteration: envs + trajectories
+    device-local, model/opt state replicated, grads pmean'd over 'env'.
 
+    ``iteration_fn`` defaults to PPO's; any function with the signature
+    ``(runner, model, env_params, cfg, tx, axis_name) -> (runner, metrics)``
+    works (e.g. :func:`gym_futbol_tpu.a2c.train_iteration`).
     Returns f(runner: RunnerState) -> (runner, metrics), jitted.
     """
 
@@ -72,7 +76,7 @@ def shard_train_iteration(
         # params stay in lockstep because grads are pmean'd before applying.
         base_key, next_key = jax.random.split(runner.key)
         shard_key = jax.random.fold_in(base_key, jax.lax.axis_index(ENV_AXIS))
-        runner, metrics = train_iteration(
+        runner, metrics = iteration_fn(
             runner.replace(key=shard_key), model, env_params, cfg, tx,
             axis_name=ENV_AXIS,
         )

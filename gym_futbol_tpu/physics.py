@@ -268,11 +268,15 @@ def _solve_contacts_scalar(
             tuple(tuple(r) for r in jn_w), tuple(tuple(r) for r in jt_w),
         )
 
+    # Accumulators are zeros_like a velocity (not 0-d scalars) so the
+    # fori_loop carry is shape-stable when the "scalars" are env tiles
+    # inside the Pallas fused kernel (vmap broadcasts either way).
+    zl = jnp.zeros_like(vx[0])
     init = (
         tuple(vx), tuple(vy),
-        tuple(zero for _ in pairs), tuple(zero for _ in pairs),
-        tuple(tuple(zero for _ in range(n_bodies)) for _ in range(4)),
-        tuple(tuple(zero for _ in range(n_bodies)) for _ in range(4)),
+        tuple(zl for _ in pairs), tuple(zl for _ in pairs),
+        tuple(tuple(zl for _ in range(n_bodies)) for _ in range(4)),
+        tuple(tuple(zl for _ in range(n_bodies)) for _ in range(4)),
     )
     out = jax.lax.fori_loop(0, params.solver_iterations, one_iteration, init)
     return list(out[0]), list(out[1])
@@ -312,12 +316,17 @@ def physics_step_scalars(
     per coordinate.
     """
     n = len(px)
-    masses = body_masses(params, dtype)
-    radii = body_radii(params, dtype)
-    elas = body_elasticities(params, dtype)
-    inv_m = [(1.0 / masses[i]).astype(dtype) for i in range(n)]
-    radii_f = [radii[i] for i in range(n)]
-    elas_f = [elas[i] for i in range(n)]
+    # Per-body constants as 0-d scalars straight from params (array
+    # constants would be captured consts inside the Pallas fused kernel).
+    inv_m = [jnp.asarray(1.0 / params.ball_mass, dtype)] + [
+        jnp.asarray(1.0 / params.player_mass, dtype)
+    ] * (n - 1)
+    radii_f = [jnp.asarray(params.ball_radius, dtype)] + [
+        jnp.asarray(params.player_radius, dtype)
+    ] * (n - 1)
+    elas_f = [jnp.asarray(params.ball_elasticity, dtype)] + [
+        jnp.asarray(params.player_elasticity, dtype)
+    ] * (n - 1)
     dt_sub = params.dt / params.substeps
     dt_c = jnp.asarray(dt_sub, dtype)
     damp = jnp.asarray(params.damping, dtype) ** jnp.asarray(dt_sub, dtype)
@@ -325,7 +334,7 @@ def physics_step_scalars(
     eps = jnp.asarray(1e-12, dtype)
     max_sp = jnp.asarray(params.max_speed, dtype)
 
-    def substep(carry, _):
+    def substep(_, carry):
         px, py, vx, vy = (list(t) for t in carry)
         # Spec item 1: velocity integration + speed clamp, per body.
         for i in range(n):
@@ -343,11 +352,13 @@ def physics_step_scalars(
         for i in range(n):
             px[i] = px[i] + vx[i] * dt_c
             py[i] = py[i] + vy[i] * dt_c
-        return (tuple(px), tuple(py), tuple(vx), tuple(vy)), None
+        return (tuple(px), tuple(py), tuple(vx), tuple(vy))
 
-    (px, py, vx, vy), _ = jax.lax.scan(
-        substep, (tuple(px), tuple(py), tuple(vx), tuple(vy)), None,
-        length=params.substeps,
+    # fori_loop (not scan): Mosaic lowers fori_loop but not scan, so this
+    # exact function can be traced inside the Pallas fused-rollout kernel.
+    px, py, vx, vy = jax.lax.fori_loop(
+        0, params.substeps, substep,
+        (tuple(px), tuple(py), tuple(vx), tuple(vy)),
     )
     return list(px), list(py), list(vx), list(vy)
 

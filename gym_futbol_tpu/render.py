@@ -68,6 +68,58 @@ def _mpl_rgb(state: EnvState, params: EnvParams) -> np.ndarray:
     return buf
 
 
+def render_episode(
+    params: EnvParams,
+    policy=None,
+    seed: int = 0,
+    n_steps: int | None = None,
+    every: int = 1,
+) -> list[np.ndarray]:
+    """Roll one episode host-side and render every ``every``-th frame.
+
+    ``policy(key, obs[1, obs_dim]) -> actions[1, n_players, 2]`` (the
+    vectorized-policy convention; defaults to uniform random). Returns a
+    list of HxWx3 uint8 frames. Pure debugging/inspection utility — the
+    hot path never renders.
+    """
+    import jax
+
+    from . import env as env_core
+    from .vector import random_policy
+
+    policy = policy or random_policy(params)
+    n_steps = n_steps or params.max_steps
+    key = jax.random.PRNGKey(seed)
+    key, k0 = jax.random.split(key)
+    state, obs = env_core.reset(k0, params)
+    frames = [render_state(state, params)]
+    step_fn = jax.jit(
+        lambda s, a: env_core.step(s, a, params), donate_argnums=()
+    )
+    for i in range(n_steps):
+        key, k_act = jax.random.split(key)
+        actions = policy(k_act, obs[None])[0]
+        state, out = step_fn(state, actions)
+        obs = out.obs
+        if (i + 1) % every == 0:
+            frames.append(render_state(state, params))
+        if bool(out.done):
+            break
+    return frames
+
+
+def save_video(frames: list[np.ndarray], path: str, fps: int = 20) -> str:
+    """Write frames to an animated GIF (PIL). Returns the path."""
+    from PIL import Image
+
+    imgs = [Image.fromarray(f) for f in frames]
+    imgs[0].save(
+        path, save_all=True, append_images=imgs[1:],
+        duration=max(1, int(1000 / fps)), loop=0,
+    )
+    return path
+
+
 def _ascii(state: EnvState, params: EnvParams, cols: int = 60, rows: int = 20) -> str:
     grid = [["." for _ in range(cols)] for _ in range(rows)]
     pos = np.asarray(state.pos)

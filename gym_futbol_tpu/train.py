@@ -19,6 +19,7 @@ import time
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--algo", choices=("ppo", "a2c"), default="ppo")
     ap.add_argument("--ppt", type=int, default=2, help="players per team")
     ap.add_argument("--envs", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=50)
@@ -54,14 +55,22 @@ def main() -> None:
         init_distributed()
 
     env_params = EnvParams(players_per_team=args.ppt, max_steps=args.max_steps)
-    cfg = PPOConfig(
-        rollout_steps=args.rollout_steps, lr=args.lr, epochs=args.epochs,
-        minibatches=args.minibatches,
-    )
+    if args.algo == "a2c":
+        from . import a2c
+
+        cfg = a2c.A2CConfig(rollout_steps=args.rollout_steps, lr=args.lr)
+        tx = a2c.make_optimizer(cfg)
+        iteration_fn = a2c.train_iteration
+    else:
+        cfg = PPOConfig(
+            rollout_steps=args.rollout_steps, lr=args.lr, epochs=args.epochs,
+            minibatches=args.minibatches,
+        )
+        tx = make_optimizer(cfg)
+        from .ppo import train_iteration as iteration_fn
     model = ActorCritic(
         n_players=env_params.n_players, hidden=tuple(args.hidden)
     )
-    tx = make_optimizer(cfg)
     mesh = make_mesh()
     if args.envs % jax.device_count():
         raise SystemExit(
@@ -74,7 +83,9 @@ def main() -> None:
         n_envs=args.envs, tx=tx,
     )
     runner = runner.replace(env_state=shard_env_state(runner.env_state, mesh))
-    step_fn = shard_train_iteration(mesh, model, env_params, cfg, tx)
+    step_fn = shard_train_iteration(
+        mesh, model, env_params, cfg, tx, iteration_fn=iteration_fn
+    )
 
     ckpt = None
     if args.checkpoint_dir:

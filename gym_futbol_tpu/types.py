@@ -104,6 +104,9 @@ class EnvParams:
     shoot_power: float = 600.0         # impulse magnitude on shoot
     kick_noise: float = 0.05           # stddev (radians) of kick direction noise
 
+    # --- placement ---
+    placement_noise: float = 0.02      # kickoff jitter, fraction of height
+
     # --- episode ---
     max_steps: int = 300               # done when t >= max_steps
 

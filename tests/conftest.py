@@ -20,6 +20,16 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+# The sandbox's sitecustomize imports jax at interpreter startup (to
+# register the axon TPU plugin), so jax snapshots JAX_PLATFORMS=axon
+# before this file's env mutation runs. Backends are not initialized
+# until the first device query, so overriding the config here still
+# takes effect.
+jax.config.update("jax_platforms", "cpu")
+assert jax.device_count() == 8, (
+    f"tests need the fake 8-device CPU mesh, got {jax.devices()}"
+)
+
 from gym_futbol_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
 # Persistent XLA compile cache: the physics program's compile cost grows
