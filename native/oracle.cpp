@@ -185,7 +185,291 @@ void substep(std::vector<V2>& pos, std::vector<V2>& vel,
 
 }  // namespace
 
+namespace {
+
+// Game-logic constants (second params array; order must match
+// native/build.py game_params_array).
+struct GameParams {
+  double move_force, dash_multiplier;
+  double possession_radius, dribble_offset;
+  double pass_power, shoot_power;
+  double placement_noise;
+  double max_steps;  // integral value
+  // RewardConfig
+  double r_goal, r_concede, r_ball_to_goal, r_player_to_ball;
+  double r_possession, r_oob, r_time;
+};
+
+inline void dir_unit(int d, double& ux, double& uy) {
+  ux = (d == 2) ? 1.0 : (d == 4) ? -1.0 : 0.0;
+  uy = (d == 1) ? 1.0 : (d == 3) ? -1.0 : 0.0;
+}
+
+constexpr int ACT_DASH = 1, ACT_PRESS = 2, ACT_PASS = 3, ACT_SHOOT = 4;
+
+double ball_goal_dist(const std::vector<V2>& pos, const Params& p, int team) {
+  double gx = (team == 0) ? p.width : 0.0;
+  double gy = p.height / 2.0;
+  double dx = pos[0].x - gx, dy = pos[0].y - gy;
+  return std::sqrt(dx * dx + dy * dy);
+}
+
+double nearest_player_ball_dist(const std::vector<V2>& pos, int ppt, int team) {
+  int lo = 1 + team * ppt;
+  double best = 0.0;
+  for (int b = lo; b < lo + ppt; ++b) {
+    double dx = pos[b].x - pos[0].x, dy = pos[b].y - pos[0].y;
+    double d = std::sqrt(dx * dx + dy * dy);
+    best = (b == lo) ? d : std::fmin(best, d);
+  }
+  return best;
+}
+
+}  // namespace
+
 extern "C" {
+
+// Full env.step in sequential double precision — the native oracle for the
+// WHOLE normative step pipeline in gym_futbol_tpu/env.py (STEP ORDER), not
+// just the physics. RNG is injected: ``theta`` is the kick-noise angle
+// already scaled by kick_noise; ``kickoff_noise`` is [n_bodies*2] uniforms
+// in [-1, 1] (the draw game.kickoff_positions makes). The parity harness
+// (parity/check_env_parity.py) replicates the jnp path's key-split to
+// produce identical draws for both implementations.
+//
+// In/out: pos, vel [n*2]; possession, t [1] int32; score [2] int32.
+// Out: reward [2] (per-team shaped reward), done [1] int32.
+void futbol_env_step(double* pos_io, double* vel_io, int32_t* possession_io,
+                     int32_t* score_io, int32_t* t_io, const int32_t* actions,
+                     double theta, const double* kickoff_noise, double* reward,
+                     int32_t* done_out, int auto_reset, int n_bodies,
+                     const double* phys_params, const double* game_params) {
+  const Params& p = *reinterpret_cast<const Params*>(phys_params);
+  const GameParams& g = *reinterpret_cast<const GameParams*>(game_params);
+  const int n = n_bodies;
+  const int n_players = n - 1;
+  const int ppt = n_players / 2;
+
+  std::vector<V2> pos(n), vel(n);
+  for (int i = 0; i < n; ++i) {
+    pos[i] = {pos_io[2 * i], pos_io[2 * i + 1]};
+    vel[i] = {vel_io[2 * i], vel_io[2 * i + 1]};
+  }
+  std::vector<V2> pos_before = pos;
+  int possession = *possession_io;
+
+  // ---- 2: action decode -> forces (ball row zero) ----------------------
+  std::vector<V2> forces(n, V2{0.0, 0.0});
+  for (int pl = 0; pl < n_players; ++pl) {
+    double ux, uy;
+    dir_unit(actions[2 * pl], ux, uy);
+    double mag = (actions[2 * pl + 1] == ACT_DASH)
+                     ? g.move_force * g.dash_multiplier
+                     : g.move_force;
+    forces[1 + pl] = {ux * mag, uy * mag};
+  }
+
+  // ---- 3: possession bids (pre-step positions) --------------------------
+  {
+    std::vector<double> d(n_players);
+    std::vector<bool> within(n_players), bids(n_players);
+    for (int pl = 0; pl < n_players; ++pl) {
+      double dx = pos[1 + pl].x - pos[0].x, dy = pos[1 + pl].y - pos[0].y;
+      d[pl] = std::sqrt(dx * dx + dy * dy);
+      within[pl] = d[pl] <= g.possession_radius;
+      bids[pl] = (actions[2 * pl + 1] == ACT_PRESS) && within[pl];
+    }
+    // nearest bidder wins, ties -> lowest index (strict <)
+    int best = 0;
+    double best_d = bids[0] ? d[0] : 1e300;
+    bool any_bid = bids[0];
+    for (int pl = 1; pl < n_players; ++pl) {
+      double bd = bids[pl] ? d[pl] : 1e300;
+      if (bd < best_d) {
+        best = pl;
+        best_d = bd;
+      }
+      any_bid = any_bid || bids[pl];
+    }
+    int owner_player = possession - 1;
+    bool owner_within = (possession > 0 && owner_player < n_players)
+                            ? within[owner_player]
+                            : false;
+    int keep = owner_within ? possession : -1;
+    possession = any_bid ? (best + 1) : keep;
+  }
+
+  // ---- 4: owner pass/shoot -> ball impulse ------------------------------
+  {
+    bool has_owner = possession > 0;
+    int owner_p = possession - 1;
+    if (owner_p < 0) owner_p = 0;
+    if (owner_p > n_players - 1) owner_p = n_players - 1;
+    int owner_act = actions[2 * owner_p + 1];
+    bool do_pass = has_owner && owner_act == ACT_PASS;
+    bool do_shoot = has_owner && owner_act == ACT_SHOOT;
+    // owner position (falls back to ball row when unowned, like the jnp)
+    V2 o = pos[0];
+    for (int b = 1; b <= n_players; ++b)
+      if (possession == b) o = pos[b];
+    int owner_team = owner_p >= ppt ? 1 : 0;
+    V2 ball = pos[0];
+    // shoot target: opponent goal mouth center
+    double gx = owner_team == 0 ? p.width : 0.0;
+    double sdx = gx - ball.x, sdy = p.height / 2.0 - ball.y;
+    double snorm = std::fmax(std::sqrt(sdx * sdx + sdy * sdy), 1e-9);
+    sdx /= snorm;
+    sdy /= snorm;
+    // pass target: nearest teammate of the owner (distance from OWNER,
+    // direction from BALL — mirrors game.apply_kick_scalars exactly)
+    double mate_d = 1e300;
+    double mx = pos[1].x, my = pos[1].y;
+    bool has_mate = false;
+    for (int pl = 0; pl < n_players; ++pl) {
+      int team_p = pl >= ppt ? 1 : 0;
+      double dx = pos[1 + pl].x - o.x, dy = pos[1 + pl].y - o.y;
+      double dp = std::sqrt(dx * dx + dy * dy);
+      bool is_mate = (owner_team == team_p) && (owner_p != pl);
+      if (!is_mate) dp = 1e300;
+      if (dp < mate_d) {
+        mx = pos[1 + pl].x;
+        my = pos[1 + pl].y;
+        mate_d = dp;
+      }
+      has_mate = has_mate || is_mate;
+    }
+    double pdx = mx - ball.x, pdy = my - ball.y;
+    double pnorm = std::fmax(std::sqrt(pdx * pdx + pdy * pdy), 1e-9);
+    pdx /= pnorm;
+    pdy /= pnorm;
+    if (!has_mate) {
+      pdx = sdx;
+      pdy = sdy;
+    }
+    double c = std::cos(theta), s = std::sin(theta);
+    double kdx = do_shoot ? c * sdx - s * sdy : c * pdx - s * pdy;
+    double kdy = do_shoot ? s * sdx + c * sdy : s * pdx + c * pdy;
+    double power = do_shoot ? g.shoot_power : g.pass_power;
+    bool kicked = do_pass || do_shoot;
+    if (kicked) {
+      vel[0].x += kdx * power / p.ball_mass;
+      vel[0].y += kdy * power / p.ball_mass;
+      possession = -1;
+    }
+  }
+
+  // ---- 5: physics --------------------------------------------------------
+  const int substeps = static_cast<int>(p.substeps);
+  for (int s = 0; s < substeps; ++s) substep(pos, vel, forces, p);
+
+  // ---- 6: dribble carry --------------------------------------------------
+  {
+    bool has_owner = possession > 0;
+    if (has_owner) {
+      int owner_p = possession - 1;
+      int dir = actions[2 * owner_p];
+      double ux, uy;
+      dir_unit(dir, ux, uy);
+      int owner_team = owner_p >= ppt ? 1 : 0;
+      double fbx = owner_team == 0 ? 1.0 : -1.0;
+      bool moving = ux != 0.0 || uy != 0.0;
+      double cdx = moving ? ux : fbx;
+      double cdy = moving ? uy : 0.0;
+      V2 o = pos[possession], ov = vel[possession];
+      double offset = p.player_radius + p.ball_radius + g.dribble_offset;
+      pos[0] = {o.x + cdx * offset, o.y + cdy * offset};
+      vel[0] = ov;
+    }
+  }
+
+  // ---- 7: goal detection -------------------------------------------------
+  const double glo = (p.height - p.goal_size) / 2.0;
+  const double ghi = (p.height + p.goal_size) / 2.0;
+  bool in_mouth7 = pos[0].y >= glo && pos[0].y <= ghi;
+  bool goal0 = pos[0].x > p.width && in_mouth7;
+  bool goal1 = pos[0].x < 0.0 && in_mouth7;
+
+  // ---- 8: OOB clamp ------------------------------------------------------
+  bool ball_clamped = false;
+  {
+    bool in_mouth = pos[0].y >= glo && pos[0].y <= ghi;  // pre-clamp ball y
+    for (int i = 0; i < n; ++i) {
+      double r = i == 0 ? p.ball_radius : p.player_radius;
+      double cx = std::fmin(std::fmax(pos[i].x, r), p.width - r);
+      double cy = std::fmin(std::fmax(pos[i].y, r), p.height - r);
+      if (i == 0 && in_mouth) cx = pos[0].x;  // free x inside the mouth
+      bool moved_x = std::fabs(cx - pos[i].x) > 0.0;
+      bool moved_y = std::fabs(cy - pos[i].y) > 0.0;
+      if (moved_x) vel[i].x = 0.0;
+      if (moved_y) vel[i].y = 0.0;
+      pos[i] = {cx, cy};
+      if (i == 0) ball_clamped = moved_x || moved_y;
+    }
+  }
+
+  // ---- 9: shaped rewards (pre-step vs post-clamp positions) --------------
+  for (int team = 0; team < 2; ++team) {
+    double r = g.r_time;
+    if (team == 0 ? goal0 : goal1) r += g.r_goal;
+    if (team == 0 ? goal1 : goal0) r += g.r_concede;
+    r += g.r_ball_to_goal *
+         (ball_goal_dist(pos_before, p, team) - ball_goal_dist(pos, p, team));
+    r += g.r_player_to_ball * (nearest_player_ball_dist(pos_before, ppt, team) -
+                               nearest_player_ball_dist(pos, ppt, team));
+    int owner_p = possession - 1;
+    bool owns = possession > 0 && owner_p >= team * ppt &&
+                owner_p < (team + 1) * ppt;
+    if (owns) r += g.r_possession;
+    if (ball_clamped) r += g.r_oob;
+    reward[team] = r;
+  }
+
+  // ---- 10: kickoff re-placement where a goal occurred --------------------
+  std::vector<V2> kick_pos(n);
+  {
+    double amp = g.placement_noise * p.height;
+    kick_pos[0] = {p.width / 2.0 + kickoff_noise[0] * amp,
+                   p.height / 2.0 + kickoff_noise[1] * amp};
+    int b = 1;
+    for (int team = 0; team < 2; ++team) {
+      double base_x = team == 0 ? p.width / 4.0 : 3.0 * p.width / 4.0;
+      for (int k = 0; k < ppt; ++k, ++b) {
+        double y0 = (k + 1.0) * (p.height / (ppt + 1.0));
+        kick_pos[b] = {base_x + kickoff_noise[2 * b] * amp,
+                       y0 + kickoff_noise[2 * b + 1] * amp};
+      }
+    }
+  }
+  bool any_goal = goal0 || goal1;
+  if (any_goal) {
+    pos = kick_pos;
+    for (int i = 0; i < n; ++i) vel[i] = {0.0, 0.0};
+    possession = -1;
+  }
+  score_io[0] += goal0 ? 1 : 0;
+  score_io[1] += goal1 ? 1 : 0;
+
+  // ---- 11: clock + optional fused auto-reset -----------------------------
+  int t = *t_io + 1;
+  bool done = t >= static_cast<int>(g.max_steps);
+  *done_out = done ? 1 : 0;
+  if (auto_reset && done) {
+    pos = kick_pos;
+    for (int i = 0; i < n; ++i) vel[i] = {0.0, 0.0};
+    possession = -1;
+    score_io[0] = 0;
+    score_io[1] = 0;
+    t = 0;
+  }
+  *t_io = t;
+  *possession_io = possession;
+  for (int i = 0; i < n; ++i) {
+    pos_io[2 * i] = pos[i].x;
+    pos_io[2 * i + 1] = pos[i].y;
+    vel_io[2 * i] = vel[i].x;
+    vel_io[2 * i + 1] = vel[i].y;
+  }
+}
 
 // pos, vel, forces: [n_bodies * 2] row-major doubles. params: Params layout.
 void futbol_physics_step(double* pos, double* vel, const double* forces,
@@ -209,6 +493,6 @@ void futbol_physics_step(double* pos, double* vel, const double* forces,
   }
 }
 
-int futbol_oracle_abi_version() { return 1; }
+int futbol_oracle_abi_version() { return 2; }
 
 }  // extern "C"
