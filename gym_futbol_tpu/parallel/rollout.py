@@ -58,6 +58,39 @@ def shard_rollout(
     return run
 
 
+def shard_fused_rollout(
+    mesh: Mesh, params: EnvParams, n_steps: int, block: int = 2048,
+    interpret: bool = False,
+):
+    """The Pallas fused-rollout kernel (ops/fused_rollout.py) composed
+    with the 'env' mesh: each device runs the whole-T-steps kernel on its
+    local env shard — still zero collectives on the step path.
+
+    Returns f(statef, statei, seed) -> (statef, statei, rewards), jitted,
+    where statef/statei are the packed tile layout (ops.pack_state) with
+    the tile axis (dim 1) sharded over 'env'. The per-device env count
+    must be a multiple of ``block``. Per-shard PRNG streams are
+    de-correlated by folding the mesh position into the seed.
+    """
+    from ..ops import fused_rollout
+
+    def local(statef, statei, seed):
+        seed = seed + jax.lax.axis_index(ENV_AXIS) * jnp.int32(0x1F123BB5)
+        return fused_rollout(
+            statef, statei, seed, params, n_steps, block, interpret
+        )
+
+    tiles = P(None, ENV_AXIS, None)
+    mapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(tiles, tiles, P()),
+        out_specs=(tiles, tiles, tiles),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0, 1))
+
+
 def shard_train_iteration(
     mesh: Mesh, model, env_params: EnvParams, cfg, tx,
     iteration_fn=train_iteration,

@@ -120,3 +120,45 @@ class TestRandomMode:
         assert (si2[1] >= 0).all() and (si2[2] >= 0).all()
         # actions actually vary: some nonzero rewards expected
         assert np.abs(rew).sum() > 0
+
+
+class TestShardedFused:
+    def test_sharded_replay_matches_unsharded(self, setup):
+        """The replay kernel under shard_map over the 8-device 'env' mesh
+        computes the same trajectory as the unsharded kernel."""
+        from jax.sharding import PartitionSpec as Spec
+
+        from gym_futbol_tpu.parallel import make_mesh
+
+        state, actions = setup
+        sf, si = pack_state(state, P)
+        acts_k = jnp.transpose(
+            actions.reshape(T, B, 2 * P.n_players), (0, 2, 1)
+        ).reshape(T, 2 * P.n_players, B // 128, 128)
+
+        ref = fused_rollout_replay(sf, si, acts_k, P, block=128, interpret=True)
+
+        mesh = make_mesh()
+        tiles = Spec(None, "env", None)
+        act_spec = Spec(None, None, "env", None)
+        mapped = jax.jit(jax.shard_map(
+            lambda a, b, c: fused_rollout_replay(
+                a, b, c, P, block=128, interpret=True
+            ),
+            mesh=mesh,
+            in_specs=(tiles, tiles, act_spec),
+            out_specs=(tiles, tiles, tiles),
+            check_vma=False,
+        ))
+        # B=128 over 8 devices is below one tile each; replicate to 1024
+        reps = 8
+        sf8 = jnp.tile(sf, (1, reps, 1))
+        si8 = jnp.tile(si, (1, reps, 1))
+        acts8 = jnp.tile(acts_k, (1, 1, reps, 1))
+        got = mapped(sf8, si8, acts8)
+        for g, r in zip(got, (jnp.tile(ref[0], (1, reps, 1)),
+                              jnp.tile(ref[1], (1, reps, 1)),
+                              jnp.tile(ref[2], (1, reps, 1)))):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=1e-6, atol=1e-6
+            )
