@@ -62,6 +62,14 @@ def bench_rollout_fused(args) -> float:
     if args.verbose:
         print(f"# fused compile+first-run: {time.perf_counter() - t0:.1f}s "
               f"on {jax.devices()[0]}")
+    # second warmup: the first post-compile call can trigger a one-time
+    # re-specialization (output layouts/shardings differ from the initial
+    # placement); it must not pollute the timed loop.
+    sf, si, rew = fused_rollout(
+        sf, si, jnp.asarray([1], jnp.int32), params, n_steps=args.steps,
+        block=block,
+    )
+    jax.device_get(rew[-1, :1, :1])
 
     t0 = time.perf_counter()
     for i in range(args.iters):
@@ -98,6 +106,9 @@ def bench_rollout(args) -> float:
     if args.verbose:
         print(f"# compile+first-run: {time.perf_counter() - t0:.1f}s "
               f"on {jax.devices()[0]}")
+    # second warmup (see bench_rollout_fused)
+    state, outs = run(state, jax.random.PRNGKey(1))
+    jax.device_get(outs.reward[-1, :1])
 
     # Timed loop: iterations chain through the donated state, so fetching
     # the last iteration's output waits for all of them.
@@ -154,6 +165,11 @@ def bench_ppo(args, with_update: bool) -> float:
     jax.device_get(m)
     if args.verbose:
         print(f"# compile+first-run: {time.perf_counter() - t0:.1f}s")
+    # second warmup: the first post-compile call re-specializes once (the
+    # carried runner's shardings/layouts differ from the initial
+    # placement) at ~3s for config 4 — it must not pollute the timed loop.
+    runner, m = once(runner)
+    jax.device_get(m)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         runner, m = once(runner)

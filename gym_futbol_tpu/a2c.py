@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from .models.policy import ActorCritic, action_log_prob_and_entropy
+from .models.policy import ActorCritic, action_log_prob_and_entropy_packed
 from .ppo import RunnerState, collect_rollout, compute_gae, init_runner
 from .types import EnvParams
 
@@ -53,7 +53,9 @@ def a2c_loss(
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """Vanilla actor-critic loss on the full [T*B] batch."""
     logits, value = model.apply(params, traj.obs)
-    logp, entropy = action_log_prob_and_entropy(logits, traj.action)
+    logp, entropy = action_log_prob_and_entropy_packed(
+        logits, traj.dirs, traj.acts
+    )
     pg_loss = -(jax.lax.stop_gradient(adv) * logp).mean()
     v_loss = 0.5 * ((value - returns) ** 2).mean()
     ent = entropy.mean()

@@ -21,7 +21,12 @@ import optax
 from flax import struct
 
 from . import env as env_core
-from .models.policy import ActorCritic, action_log_prob_and_entropy, sample_actions
+from .models.policy import (
+    ActorCritic,
+    action_log_prob_and_entropy_packed,
+    pack_actions,
+    sample_actions,
+)
 from .types import EnvParams, EnvState
 from .vector import step_batch
 
@@ -38,12 +43,27 @@ class PPOConfig:
     vf_coef: float = 0.5
     ent_coef: float = 0.01
     max_grad_norm: float = 0.5
+    # Minibatch shuffling granularity. Row-level random gathers are
+    # pathological on TPU (measured 580 ms per minibatch step at 4.2M
+    # transitions — 90% of the whole PPO iteration); shuffling contiguous
+    # blocks instead gathers ~20 KB rows, which the HBM likes. A block of
+    # consecutive flat indices is one timestep of `shuffle_block`
+    # *independent* envs, so minibatch statistics are unaffected. Set to 1
+    # to recover exact row-level shuffling.
+    shuffle_block: int = 128
 
 
 @struct.dataclass
 class Transition:
+    """One step of experience. Actions are stored BIT-PACKED (3 bits per
+    player, one int32 word per action slot) so every leaf of the stacked
+    [T, B, ...] trajectory is at most rank-3 with a wide minor dim — a
+    [T, B, n_players, 2] int32 buffer puts (n_players, 2) on the tiled
+    minor dims and pads ~100x (see models/policy.py docstring)."""
+
     obs: jax.Array        # [B, obs_dim]
-    action: jax.Array     # [B, n_players, 2]
+    dirs: jax.Array       # [B] int32, packed per-player direction indices
+    acts: jax.Array       # [B] int32, packed per-player act indices
     logp: jax.Array       # [B]
     value: jax.Array      # [B]
     reward: jax.Array     # [B]
@@ -79,8 +99,9 @@ def collect_rollout(
         logits, value = model.apply(runner.params, obs)
         action, logp = sample_actions(k_act, logits)
         env_state, out = step_batch(env_state, action, env_params)
+        dirs, acts = pack_actions(action)
         tr = Transition(
-            obs=obs, action=action, logp=logp, value=value,
+            obs=obs, dirs=dirs, acts=acts, logp=logp, value=value,
             reward=out.reward, done=out.done,
         )
         return (env_state, out.obs, key), tr
@@ -120,7 +141,9 @@ def ppo_loss(
     returns: jax.Array, cfg: PPOConfig,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     logits, value = model.apply(params, batch.obs)
-    logp, entropy = action_log_prob_and_entropy(logits, batch.action)
+    logp, entropy = action_log_prob_and_entropy_packed(
+        logits, batch.dirs, batch.acts
+    )
     ratio = jnp.exp(logp - batch.logp)
 
     norm_adv = (adv - adv.mean()) / (adv.std() + 1e-8)
@@ -160,18 +183,28 @@ def update_epochs(
     """
     t, b = traj.reward.shape
     n = t * b
-    flat = jax.tree.map(lambda x: x.reshape((n,) + x.shape[2:]), traj)
-    flat_adv = adv.reshape(n)
-    flat_ret = returns.reshape(n)
-    mb_size = n // cfg.minibatches
+    # Block-granular shuffle (see PPOConfig.shuffle_block): reshape the
+    # flat buffer to [n_blocks, block, ...] so the per-epoch permutation
+    # gathers whole contiguous blocks instead of single rows.
+    block = cfg.shuffle_block if n % cfg.shuffle_block == 0 else 1
+    n_blocks = n // block
+    flat = jax.tree.map(
+        lambda x: x.reshape((n_blocks, block) + x.shape[2:]), traj
+    )
+    flat_adv = adv.reshape(n_blocks, block)
+    flat_ret = returns.reshape(n_blocks, block)
+    mb_blocks = n_blocks // cfg.minibatches
+    mb_size = mb_blocks * block
 
     def epoch(carry, k):
         params, opt_state = carry
-        perm = jax.random.permutation(k, n)
+        perm = jax.random.permutation(k, n_blocks)
 
         def minibatch(carry, idx):
             params, opt_state = carry
-            take = lambda x: jnp.take(x, idx, axis=0)
+            take = lambda x: jnp.take(x, idx, axis=0).reshape(
+                (mb_size,) + x.shape[2:]
+            )
             mb = jax.tree.map(take, flat)
             grads, metrics = jax.grad(ppo_loss, has_aux=True)(
                 params, model, mb, take(flat_adv), take(flat_ret), cfg
@@ -183,7 +216,9 @@ def update_epochs(
             params = optax.apply_updates(params, updates)
             return (params, opt_state), metrics
 
-        idxs = perm[: cfg.minibatches * mb_size].reshape(cfg.minibatches, mb_size)
+        idxs = perm[: cfg.minibatches * mb_blocks].reshape(
+            cfg.minibatches, mb_blocks
+        )
         (params, opt_state), metrics = jax.lax.scan(
             minibatch, (params, opt_state), idxs
         )

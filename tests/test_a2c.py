@@ -59,11 +59,13 @@ class TestA2C:
         import optax
         new_params = optax.apply_updates(runner.params, updates)
 
-        from gym_futbol_tpu.models.policy import action_log_prob_and_entropy
+        from gym_futbol_tpu.models.policy import (
+            action_log_prob_and_entropy_packed,
+        )
         logits0, _ = model.apply(runner.params, flat.obs)
         logits1, _ = model.apply(new_params, flat.obs)
-        lp0, _ = action_log_prob_and_entropy(logits0, flat.action)
-        lp1, _ = action_log_prob_and_entropy(logits1, flat.action)
+        lp0, _ = action_log_prob_and_entropy_packed(logits0, flat.dirs, flat.acts)
+        lp1, _ = action_log_prob_and_entropy_packed(logits1, flat.dirs, flat.acts)
         assert float((lp1 - lp0).mean()) > 0.0
 
     def test_sharded_iteration(self, key):

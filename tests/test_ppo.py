@@ -38,7 +38,8 @@ class TestGAE:
         last_value = rng.randn(B).astype(np.float32)
 
         traj = Transition(
-            obs=jnp.zeros((T, B, 1)), action=jnp.zeros((T, B, 1, 2), jnp.int32),
+            obs=jnp.zeros((T, B, 1)), dirs=jnp.zeros((T, B), jnp.int32),
+            acts=jnp.zeros((T, B), jnp.int32),
             logp=jnp.zeros((T, B)), value=jnp.asarray(values),
             reward=jnp.asarray(rewards), done=jnp.asarray(dones),
         )
@@ -65,13 +66,27 @@ class TestPolicy:
         params = init_params(key, model, ENV_P)
         obs = jax.random.normal(key, (7, 4 * ENV_P.n_bodies + 2))
         logits, value = model.apply(params, obs)
-        assert logits.shape == (7, 2, 2, 5)
+        assert logits.shape == (7, 2 * 2 * 5)  # flat: [B, n_players*2*5]
         assert value.shape == (7,)
         actions, logp = sample_actions(key, logits)
+        assert actions.shape == (7, 2, 2)
         logp2, ent = action_log_prob_and_entropy(logits, actions)
-        np.testing.assert_allclose(np.asarray(logp), np.asarray(logp2), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(logp), np.asarray(logp2), rtol=1e-5, atol=1e-6
+        )
         assert (np.asarray(ent) > 0).all()
         assert (np.asarray(actions) >= 0).all() and (np.asarray(actions) < 5).all()
+
+    def test_sampling_matches_softmax_distribution(self, key):
+        """Inverse-CDF sampling reproduces the softmax probabilities."""
+        one = [2.0, 0.0, -1.0, 0.5, 1.0]
+        logits = jnp.asarray([one + one])  # one player: dir + act groups
+        probs = np.asarray(jax.nn.softmax(jnp.asarray(one)))
+        n = 20000
+        keys = jax.random.split(key, n)
+        acts = jax.vmap(lambda k: sample_actions(k, logits)[0])(keys)
+        counts = np.bincount(np.asarray(acts).reshape(-1), minlength=5) / (2 * n)
+        np.testing.assert_allclose(counts, probs, atol=0.02)
 
 
 class TestTraining:
