@@ -18,6 +18,8 @@ Other presets (--config):
   4: 3v3, 16384 envs, PPO rollout-buffer collection (policy fwd + GAE)
   5: 5v5, 65536 envs, sharded PPO iteration incl. grad pmean collective
      (single-chip here; runs unchanged on a multi-host mesh)
+  6: 2v2, 4096 envs, policy-in-kernel self-play (both teams' MLP actors
+     on the MXU inside the fused Pallas rollout kernel)
 
 Usage: python bench.py [--config 3] [--envs N] [--steps T] [--ppt P]
 """
@@ -34,6 +36,7 @@ CONFIGS = {
     3: dict(ppt=2, envs=4096, steps=512),
     4: dict(ppt=3, envs=16384, steps=128),
     5: dict(ppt=5, envs=65536, steps=64),
+    6: dict(ppt=2, envs=4096, steps=512),
 }
 
 
@@ -116,6 +119,46 @@ def bench_rollout(args) -> float:
     for i in range(args.iters):
         state, outs = run(state, jax.random.PRNGKey(2 + i))
     jax.device_get(outs.reward[-1, :1])
+    dt = (time.perf_counter() - t0) / args.iters
+    return args.envs * args.steps / dt
+
+
+def bench_selfplay_fused(args) -> float:
+    """Config 6: policy-vs-policy rollout with both per-team MLP actors
+    running on the MXU inside the fused kernel (ops/fused_actor.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gym_futbol_tpu import EnvParams
+    from gym_futbol_tpu.ops import pack_state
+    from gym_futbol_tpu.ops.fused_actor import fused_selfplay_rollout, init_mlp
+    from gym_futbol_tpu.vector import reset_batch
+
+    params = EnvParams(players_per_team=args.ppt)
+    state, _ = reset_batch(jax.random.PRNGKey(0), params, args.envs)
+    sf, si = pack_state(state, params)
+    wa = init_mlp(jax.random.PRNGKey(1), params)
+    wb = init_mlp(jax.random.PRNGKey(2), params)
+    block = min(1024, args.envs)
+
+    def once(sf, si, seed):
+        return fused_selfplay_rollout(
+            sf, si, wa, wb, jnp.asarray([seed], jnp.int32), params,
+            n_steps=args.steps, block=block,
+        )
+
+    t0 = time.perf_counter()
+    sf, si, rew = once(sf, si, 1)
+    jax.device_get(rew[-1, :1, :1])
+    if args.verbose:
+        print(f"# compile+first-run: {time.perf_counter() - t0:.1f}s")
+    sf, si, rew = once(sf, si, 1)
+    jax.device_get(rew[-1, :1, :1])
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        sf, si, rew = once(sf, si, 2 + i)
+    jax.device_get(rew[-1, :1, :1])
     dt = (time.perf_counter() - t0) / args.iters
     return args.envs * args.steps / dt
 
@@ -214,6 +257,8 @@ def main() -> None:
                 print(f"# fused path failed ({type(e).__name__}: {e}); "
                       "falling back to jnp path")
                 steps_per_sec = bench_rollout(args)
+    elif args.config == 6:
+        steps_per_sec = bench_selfplay_fused(args)
     else:
         steps_per_sec = bench_ppo(args, with_update=(args.config == 5))
 

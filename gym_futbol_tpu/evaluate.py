@@ -40,24 +40,35 @@ def mirror_obs(obs: jax.Array, params: EnvParams) -> jax.Array:
     """Present team 1 with a team-0 view: mirror x about the field center
     and swap the team blocks, so one policy can play either side.
 
-    Obs layout (env.observe): [x,y,vx,vy] per body then 2 possession flags.
+    Obs layout (env.observe OBSERVATION SPEC): ALL positions first
+    ([x0, y0, x1, y1, ...], normalized), then all velocities, then the 2
+    possession flags — NOT interleaved per body.
     """
     n = params.n_bodies
     ppt = params.players_per_team
-    body = obs[..., : 4 * n].reshape(obs.shape[:-1] + (n, 4))
-    # mirror x (positions are normalized to [0,1]) and vx
-    body = body.at[..., 0].set(1.0 - body[..., 0])
-    body = body.at[..., 2].set(-body[..., 2])
-    # swap team blocks (ball stays body 0)
-    ball = body[..., :1, :]
-    t0 = body[..., 1 : 1 + ppt, :]
-    t1 = body[..., 1 + ppt : 1 + 2 * ppt, :]
-    body = jnp.concatenate([ball, t1, t0], axis=-2)
+
+    def reorder_pairs(block, negate_x: bool, one_minus_x: bool):
+        # block [.., 2n] of per-body (x, y) pairs -> mirrored + team-swapped
+        pairs = block.reshape(block.shape[:-1] + (n, 2))
+        x = pairs[..., 0]
+        if one_minus_x:
+            x = 1.0 - x
+        if negate_x:
+            x = -x
+        pairs = jnp.stack([x, pairs[..., 1]], axis=-1)
+        ball = pairs[..., :1, :]
+        t0 = pairs[..., 1 : 1 + ppt, :]
+        t1 = pairs[..., 1 + ppt : 1 + 2 * ppt, :]
+        pairs = jnp.concatenate([ball, t1, t0], axis=-2)
+        return pairs.reshape(block.shape)
+
+    pos = reorder_pairs(obs[..., : 2 * n], negate_x=False, one_minus_x=True)
+    vel = reorder_pairs(
+        obs[..., 2 * n : 4 * n], negate_x=True, one_minus_x=False
+    )
     flags = obs[..., 4 * n :]
     flags = jnp.stack([flags[..., 1], flags[..., 0]], axis=-1)
-    return jnp.concatenate(
-        [body.reshape(obs.shape[:-1] + (4 * n,)), flags], axis=-1
-    )
+    return jnp.concatenate([pos, vel, flags], axis=-1)
 
 
 def joint_policy(

@@ -112,9 +112,18 @@ def unpack_state(
 
 
 def _uniform01(shape):
-    """Uniform [0, 1) f32 from the core PRNG (24 mantissa-safe bits)."""
-    bits = pltpu.prng_random_bits(shape)
-    return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    """Uniform [0, 1) f32 from the core PRNG (24 mantissa-safe bits).
+
+    The bitcast to uint32 is load-bearing: the raw bits lower as SIGNED
+    int32, where ``>> 8`` is an arithmetic shift — without it the
+    "uniforms" land in [-0.5, 0.5) and silently bias every sample (caught
+    by parity/check_fused_actor.py's statistical gate).
+    """
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # logical shift in uint32, then bitcast to int32 (top byte now zero,
+    # so the value is non-negative); Mosaic lacks a uint32->f32 cast.
+    top24 = pltpu.bitcast(bits >> 8, jnp.int32)
+    return top24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
 def _randint5(shape):
