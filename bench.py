@@ -142,10 +142,11 @@ def bench_selfplay_fused(args) -> float:
     block = min(1024, args.envs)
 
     def once(sf, si, seed):
-        return fused_selfplay_rollout(
+        sf, si, rew, goals = fused_selfplay_rollout(
             sf, si, wa, wb, jnp.asarray([seed], jnp.int32), params,
             n_steps=args.steps, block=block,
         )
+        return sf, si, rew
 
     t0 = time.perf_counter()
     sf, si, rew = once(sf, si, 1)

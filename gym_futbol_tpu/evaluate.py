@@ -126,3 +126,50 @@ def evaluate(
     policy = joint_policy(params, policy_a, policy_b)
     out = _run_matches(jax.random.PRNGKey(seed), params, n_envs, n_steps, policy)
     return {k: jax.device_get(v) for k, v in out.items()}
+
+
+def evaluate_fused(
+    params: EnvParams,
+    weights_a: tuple,
+    weights_b: tuple | None = None,
+    n_envs: int = 4096,
+    n_steps: int = 300,
+    seed: int = 0,
+    block: int = 1024,
+) -> dict:
+    """Policy-vs-policy evaluation on the policy-in-kernel Pallas path
+    (ops/fused_actor.py): both teams' MLPs run on the MXU inside the
+    fused rollout kernel — ~43M env-steps/s on a v5e chip vs ~2M for the
+    jnp joint-policy path. TPU only (uses the on-core PRNG).
+
+    weights_a/b: per-team MLP weights from ops.fused_actor.init_mlp (or
+    any (W1, b1, ..., Wl, bl) tuple of matching shapes); weights_b
+    defaults to weights_a (self-play). Same metric semantics as
+    :func:`evaluate` (win rates over whole-rollout goal totals).
+    """
+    import numpy as np
+
+    from .ops import pack_state
+    from .ops.fused_actor import fused_selfplay_rollout
+
+    weights_b = weights_a if weights_b is None else weights_b
+    key = jax.random.PRNGKey(seed)
+    state, _ = reset_batch(key, params, n_envs)
+    sf, si = pack_state(state, params)
+    sf, si, rew, goals = fused_selfplay_rollout(
+        sf, si, weights_a, weights_b,
+        jnp.asarray([seed + 1], jnp.int32), params, n_steps=n_steps,
+        block=block,
+    )
+    goals = np.asarray(jax.device_get(goals)).reshape(2, n_envs)
+    rew = np.asarray(jax.device_get(rew))
+    return {
+        "goals": goals.sum(axis=1),
+        "goals_per_episode": goals.sum(axis=1) * params.max_steps / (
+            n_envs * n_steps
+        ),
+        "win_rate_a": float((goals[0] > goals[1]).mean()),
+        "win_rate_b": float((goals[1] > goals[0]).mean()),
+        "draw_rate": float((goals[0] == goals[1]).mean()),
+        "mean_team0_reward": float(rew.mean()),
+    }

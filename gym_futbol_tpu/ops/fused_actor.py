@@ -169,7 +169,7 @@ def _selfplay_kernel(params: EnvParams, n_steps: int, sub: int,
         wb = [refs[2 * n_layers + i] for i in range(2 * n_layers)]
         sf_ref, si_ref = refs[4 * n_layers], refs[4 * n_layers + 1]
         out_sf, out_si = refs[4 * n_layers + 2], refs[4 * n_layers + 3]
-        rew_ref = refs[4 * n_layers + 4]
+        rew_ref, goals_ref = refs[4 * n_layers + 4], refs[4 * n_layers + 5]
 
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 0x27D4EB2F)
         wa = [w[:] for w in wa]  # load weights into registers once
@@ -177,9 +177,10 @@ def _selfplay_kernel(params: EnvParams, n_steps: int, sub: int,
         state = _read_state(sf_ref, si_ref, n)
 
         def body(step_i, carry):
-            px, py, vx, vy, poss, s0, s1, t = (
+            px, py, vx, vy, poss, s0, s1, t, g0_acc, g1_acc = (
                 list(carry[0]), list(carry[1]), list(carry[2]),
                 list(carry[3]), carry[4], carry[5], carry[6], carry[7],
+                carry[8], carry[9],
             )
             # --- policy A (team 0 view) and B (mirrored team 1 view) ----
             xa = _obs_matrix(px, py, vx, vy, poss, params, False, block)
@@ -203,21 +204,26 @@ def _selfplay_kernel(params: EnvParams, n_steps: int, sub: int,
             noise_x = [_uniform01(shape) * 2.0 - 1.0 for _ in range(n)]
             noise_y = [_uniform01(shape) * 2.0 - 1.0 for _ in range(n)]
 
-            px, py, vx, vy, poss, s0, s1, t, r0 = _fused_step(
+            px, py, vx, vy, poss, s0, s1, t, r0, goal0, goal1 = _fused_step(
                 px, py, vx, vy, poss, s0, s1, t,
                 dirs, acts, theta, noise_x, noise_y, params,
             )
             rew_ref[step_i] = r0
+            g0_acc = g0_acc + goal0.astype(jnp.int32)
+            g1_acc = g1_acc + goal1.astype(jnp.int32)
             return (tuple(px), tuple(py), tuple(vx), tuple(vy),
-                    poss, s0, s1, t)
+                    poss, s0, s1, t, g0_acc, g1_acc)
 
         px, py, vx, vy = state[:4]
+        zi = jnp.zeros(shape, jnp.int32)
         init = (tuple(px), tuple(py), tuple(vx), tuple(vy),
-                state[4], state[5], state[6], state[7])
+                state[4], state[5], state[6], state[7], zi, zi)
         out = jax.lax.fori_loop(0, n_steps, body, init)
         _write_state(out_sf, out_si, n,
                      list(out[0]), list(out[1]), list(out[2]), list(out[3]),
                      out[4], out[5], out[6], out[7])
+        goals_ref[0] = out[8]
+        goals_ref[1] = out[9]
 
     return kernel
 
@@ -242,8 +248,9 @@ def fused_selfplay_rollout(
 
     weights_a/b: flat (W1, b1, ..., Wl, bl) per-team MLPs from
     :func:`init_mlp` (pass the same tuple twice for self-play).
-    Returns (statef', statei', rewards [n_steps, B//128, 128]) where
-    rewards are team-0 shaped rewards; goals/score live in statei.
+    Returns (statef', statei', rewards [n_steps, B//128, 128],
+    goals [2, B//128, 128]) — rewards are team-0 shaped rewards, goals
+    are per-env totals over the whole rollout (not reset per episode).
     """
     n = params.n_bodies
     nb = statef.shape[1]
@@ -275,12 +282,15 @@ def fused_selfplay_rollout(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_steps, sub, _LANE), lambda i, seed: (0, i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, sub, _LANE), lambda i, seed: (0, i, 0),
+                         memory_space=pltpu.VMEM),
         ],
     )
     out_shape = [
         jax.ShapeDtypeStruct((4 * n, nb, _LANE), jnp.float32),
         jax.ShapeDtypeStruct((4, nb, _LANE), jnp.int32),
         jax.ShapeDtypeStruct((n_steps, nb, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((2, nb, _LANE), jnp.int32),
     ]
     fn = pl.pallas_call(
         _selfplay_kernel(params, n_steps, sub, n_layers),

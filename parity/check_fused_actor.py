@@ -52,23 +52,16 @@ def main() -> int:
     # fused kernel path
     state, _ = reset_batch(jax.random.PRNGKey(0), params, B)
     sf, si = pack_state(state, params)
-    sf, si, rew = fused_selfplay_rollout(
+    sf, si, rew, goals = fused_selfplay_rollout(
         sf, si, wa, wb, jnp.asarray([7], jnp.int32), params, n_steps=T
     )
     rew = np.asarray(jax.device_get(rew))
+    goals = np.asarray(jax.device_get(goals))
 
-    # Kernel aggregate: mean team-0 reward per step; goal totals are not
-    # directly emitted per step, so compare reward mean + rough goal rate
-    # via the large +-goal reward spikes.
     ref_mean = float(ref["mean_team0_reward"])
     got_mean = float(rew.mean())
-    rc = params.rewards
-    ref_goal_rate = float(
-        (ref["goals"][0] + ref["goals"][1]) / (B * T)
-    )
-    got_goal_rate = float(
-        ((rew >= rc.goal + rc.oob_penalty) | (rew <= rc.concede - rc.oob_penalty)).mean()
-    )
+    ref_goal_rate = float((ref["goals"][0] + ref["goals"][1]) / (B * T))
+    got_goal_rate = float(goals.sum() / (B * T))
 
     print(f"mean team0 reward: jnp {ref_mean:+.5f}  kernel {got_mean:+.5f}")
     print(f"goal rate/step:    jnp {ref_goal_rate:.6f}  kernel {got_goal_rate:.6f}")
@@ -80,8 +73,8 @@ def main() -> int:
     if abs(ref_mean - got_mean) > 5 * se + 1e-4:
         print(f"FAIL reward means differ beyond noise (se~{se:.2e})")
         ok = False
-    if not (0.3 < (got_goal_rate + 1e-9) / (ref_goal_rate + 1e-9) < 3.0):
-        print("FAIL goal rates differ by more than 3x")
+    if not (0.5 < (got_goal_rate + 1e-9) / (ref_goal_rate + 1e-9) < 2.0):
+        print("FAIL goal rates differ by more than 2x")
         ok = False
     print("OK" if ok else "FAIL")
     return 0 if ok else 1
