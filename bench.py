@@ -164,9 +164,13 @@ def bench_selfplay_fused(args) -> float:
     return args.envs * args.steps / dt
 
 
-def bench_ppo(args, with_update: bool) -> float:
+def bench_ppo(args, with_update: bool, fused: bool = False) -> float:
     """Config 4 (rollout collection into the PPO buffer + GAE) and
-    config 5 (full sharded PPO iteration). Returns env-steps/s."""
+    config 5 (full sharded PPO iteration). Returns env-steps/s.
+    ``fused=True`` collects experience with the Pallas fused-collect
+    kernel (policy forward on the MXU inside the env kernel)."""
+    import functools
+
     import jax
 
     from gym_futbol_tpu import EnvParams
@@ -175,7 +179,8 @@ def bench_ppo(args, with_update: bool) -> float:
         make_mesh, shard_env_state, shard_train_iteration,
     )
     from gym_futbol_tpu.ppo import (
-        PPOConfig, collect_rollout, compute_gae, init_runner, make_optimizer,
+        PPOConfig, collect_rollout, collect_rollout_fused, compute_gae,
+        init_runner, make_optimizer, train_iteration,
     )
 
     env_params = EnvParams(players_per_team=args.ppt)
@@ -187,9 +192,15 @@ def bench_ppo(args, with_update: bool) -> float:
         jax.random.PRNGKey(0), model, env_params, cfg, n_envs=args.envs, tx=tx
     )
     runner = runner.replace(env_state=shard_env_state(runner.env_state, mesh))
+    collect_fn = collect_rollout_fused if fused else collect_rollout
 
     if with_update:
-        fn = shard_train_iteration(mesh, model, env_params, cfg, tx)
+        fn = shard_train_iteration(
+            mesh, model, env_params, cfg, tx,
+            iteration_fn=functools.partial(
+                train_iteration, collect_fn=collect_fn
+            ),
+        )
 
         def once(r):
             r, metrics = fn(r)
@@ -197,7 +208,7 @@ def bench_ppo(args, with_update: bool) -> float:
     else:
         @jax.jit
         def collect(r):
-            r, traj, last_v = collect_rollout(r, model, env_params, cfg)
+            r, traj, last_v = collect_fn(r, model, env_params, cfg)
             adv, ret = compute_gae(traj, last_v, cfg)
             return r, adv.mean()
 
@@ -261,7 +272,18 @@ def main() -> None:
     elif args.config == 6:
         steps_per_sec = bench_selfplay_fused(args)
     else:
-        steps_per_sec = bench_ppo(args, with_update=(args.config == 5))
+        with_update = args.config == 5
+        if args.impl == "jnp":
+            steps_per_sec = bench_ppo(args, with_update)
+        else:
+            try:
+                steps_per_sec = bench_ppo(args, with_update, fused=True)
+            except Exception as e:  # pragma: no cover
+                if args.impl == "fused":
+                    raise
+                print(f"# fused collect failed ({type(e).__name__}: {e}); "
+                      "falling back to jnp collect")
+                steps_per_sec = bench_ppo(args, with_update)
 
     print(
         json.dumps(

@@ -1,0 +1,268 @@
+"""Fused PPO experience collection: joint actor-critic in-kernel.
+
+One Mosaic kernel runs the whole T-step PPO rollout — the joint
+ActorCritic forward (MXU matmuls over [feature, block] matrices), action
+sampling + joint log-prob (row form, on-core PRNG), the full env step,
+and auto-reset — and emits exactly what the PPO update consumes:
+
+    obs    [T, F, B//128, 128] f32  (streamed to HBM per step via DMA)
+    dirs   [T, B//128, 128] i32     (bit-packed, 3 bits/player)
+    acts   [T, B//128, 128] i32
+    logp   [T, B//128, 128] f32
+    value  [T, B//128, 128] f32
+    reward [T, B//128, 128] f32
+    done   [T, B//128, 128] i32
+    last_value [1, B//128, 128] f32 (bootstrap for GAE)
+
+The per-step observation block (~100-200 KB) is written to the HBM
+output with ``pltpu.make_async_copy`` from a VMEM scratch — the [T, F, B]
+buffer would not fit in VMEM, and everything else stays resident.
+
+RNG: the on-core PRNG (sampling stream differs from jax.random by
+design; the PPO update recomputes log-probs from the SAME obs/actions
+with the SAME weights, so the on-policy contract holds — certified by
+parity/check_fused_collect.py, which checks the kernel's own outputs are
+internally consistent with the flax model to float32 roundoff).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..types import EnvParams
+from .fused_actor import _mlp_logit_rows, _obs_matrix, N_CHOICES
+from .fused_rollout import (
+    _LANE,
+    _fused_step,
+    _normal,
+    _read_state,
+    _uniform01,
+    _uniform_pm1,
+    _write_state,
+)
+
+
+def flatten_actor_critic(variables, model) -> tuple:
+    """Flax ActorCritic variables -> flat (W, b) tuple in kernel order:
+    torso Denses, logits Dense, value Dense. Biases reshaped [out, 1]."""
+    dense = variables["params"]
+    n_dense = len(model.hidden) + 2
+    out = []
+    for i in range(n_dense):
+        layer = dense[f"Dense_{i}"]
+        out.append(jnp.asarray(layer["kernel"], jnp.float32))
+        out.append(jnp.asarray(layer["bias"], jnp.float32).reshape(-1, 1))
+    return tuple(out)
+
+
+def _sample_with_logp(logit_rows, n_groups: int, block: int, sub: int):
+    """Row-form inverse-CDF sampling + joint taken log-prob.
+    Returns (idx tiles [(sub,128)]*G, joint logp [block])."""
+    idxs, logp_total = [], None
+    for g in range(n_groups):
+        rows = [logit_rows[g * N_CHOICES + i] for i in range(N_CHOICES)]
+        m = rows[0]
+        for r in rows[1:]:
+            m = jnp.maximum(m, r)
+        exps = [jnp.exp(r - m) for r in rows]
+        z = exps[0]
+        for e in exps[1:]:
+            z = z + e
+        logz = jnp.log(z)
+        logps = [r - m - logz for r in rows]
+        u = _uniform01((sub, _LANE)).reshape(block) * z
+        cum = exps[0]
+        idx = (u > cum).astype(jnp.int32)
+        for i in range(1, N_CHOICES - 1):
+            cum = cum + exps[i]
+            idx = idx + (u > cum).astype(jnp.int32)
+        taken = logps[0]
+        for i in range(1, N_CHOICES):
+            taken = jnp.where(idx == i, logps[i], taken)
+        idxs.append(idx.reshape(sub, _LANE))
+        logp_total = taken if logp_total is None else logp_total + taken
+    return idxs, logp_total
+
+
+def _collect_kernel(params: EnvParams, n_steps: int, sub: int,
+                    n_dense: int):
+    n = params.n_bodies
+    n_players = params.n_players
+    block = sub * _LANE
+    shape = (sub, _LANE)
+    f_dim = 4 * n + 2
+
+    def kernel(seed_ref, *refs):
+        w = [refs[i] for i in range(2 * n_dense)]
+        sf_ref, si_ref = refs[2 * n_dense], refs[2 * n_dense + 1]
+        (out_sf, out_si, obs_hbm, dirs_ref, acts_ref, logp_ref, val_ref,
+         rew_ref, done_ref, lastv_ref) = refs[2 * n_dense + 2:2 * n_dense + 12]
+        obs_scratch, dma_sem = refs[2 * n_dense + 12], refs[2 * n_dense + 13]
+
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 0x27D4EB2F)
+        torso = [w[i][:] for i in range(2 * (n_dense - 2))]
+        wl, bl = w[-4][:], w[-3][:]
+        wv, bv = w[-2][:], w[-1][:]
+        state = _read_state(sf_ref, si_ref, n)
+        blk = pl.program_id(0)
+
+        def forward(px, py, vx, vy, poss):
+            x = _obs_matrix(px, py, vx, vy, poss, params, False, block)
+            h = _mlp_logit_rows(x, torso, block)
+            h = jnp.tanh(h)  # torso layers end with tanh (ActorCritic)
+            logits = jax.lax.dot_general(
+                wl, h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bl
+            value = (jax.lax.dot_general(
+                wv, h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bv).reshape(block)
+            return x, logits, value
+
+        def body(step_i, carry):
+            px, py, vx, vy, poss, s0, s1, t = (
+                list(carry[0]), list(carry[1]), list(carry[2]),
+                list(carry[3]), carry[4], carry[5], carry[6], carry[7],
+            )
+            x, logits, value = forward(px, py, vx, vy, poss)
+
+            # stream this step's obs block to HBM
+            obs_scratch[:] = x.reshape(f_dim, sub, _LANE)
+            dma = pltpu.make_async_copy(
+                obs_scratch,
+                obs_hbm.at[step_i, :, pl.ds(blk * sub, sub), :],
+                dma_sem,
+            )
+            dma.start()
+
+            idxs, logp = _sample_with_logp(logits, 2 * n_players, block, sub)
+            dirs = [idxs[2 * p] for p in range(n_players)]
+            acts = [idxs[2 * p + 1] for p in range(n_players)]
+            dpack = jnp.zeros(shape, jnp.int32)
+            apack = jnp.zeros(shape, jnp.int32)
+            for p in range(n_players):
+                dpack = dpack | (dirs[p] << (3 * p))
+                apack = apack | (acts[p] << (3 * p))
+
+            theta = _normal(shape) * jnp.float32(params.kick_noise)
+            noise_x = [_uniform_pm1(shape) for _ in range(n)]
+            noise_y = [_uniform_pm1(shape) for _ in range(n)]
+            (px, py, vx, vy, poss, s0, s1, t, r0, _, _,
+             done) = _fused_step(
+                px, py, vx, vy, poss, s0, s1, t,
+                dirs, acts, theta, noise_x, noise_y, params,
+            )
+            dirs_ref[step_i] = dpack
+            acts_ref[step_i] = apack
+            logp_ref[step_i] = logp.reshape(sub, _LANE)
+            val_ref[step_i] = value.reshape(sub, _LANE)
+            rew_ref[step_i] = r0
+            done_ref[step_i] = done.astype(jnp.int32)
+            dma.wait()  # scratch reused next iteration
+            return (tuple(px), tuple(py), tuple(vx), tuple(vy),
+                    poss, s0, s1, t)
+
+        px, py, vx, vy = state[:4]
+        init = (tuple(px), tuple(py), tuple(vx), tuple(vy),
+                state[4], state[5], state[6], state[7])
+        out = jax.lax.fori_loop(0, n_steps, body, init)
+        px, py, vx, vy = (list(out[0]), list(out[1]), list(out[2]),
+                          list(out[3]))
+        _write_state(out_sf, out_si, n, px, py, vx, vy,
+                     out[4], out[5], out[6], out[7])
+        # bootstrap value of the carried (post-reset) final state
+        _, _, last_value = forward(px, py, vx, vy, out[4])
+        lastv_ref[0] = last_value.reshape(sub, _LANE)
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("params", "n_steps", "block", "interpret"),
+    donate_argnames=("statef", "statei"),
+)
+def fused_collect(
+    statef: jax.Array,
+    statei: jax.Array,
+    weights: tuple,
+    seed: jax.Array,
+    params: EnvParams,
+    n_steps: int,
+    block: int = 1024,
+    interpret: bool = False,
+):
+    """Collect a PPO rollout fully in-kernel (see module docstring).
+
+    weights: flat ActorCritic weights from :func:`flatten_actor_critic`.
+    Returns (statef', statei', obs, dirs, acts, logp, value, reward,
+    done, last_value) in the shapes listed in the module docstring.
+    """
+    n = params.n_bodies
+    f_dim = 4 * n + 2
+    nb = statef.shape[1]
+    b = nb * _LANE
+    assert b % block == 0, f"n_envs {b} must be a multiple of block {block}"
+    sub = block // _LANE
+    n_blocks = b // block
+    n_dense = len(weights) // 2
+
+    full = lambda w: pl.BlockSpec(
+        w.shape, lambda i, seed: (0,) * w.ndim, memory_space=pltpu.VMEM
+    )
+    tile3 = lambda rows: pl.BlockSpec(
+        (rows, sub, _LANE), lambda i, seed: (0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            *[full(w) for w in weights],
+            tile3(4 * n),
+            tile3(4),
+        ],
+        out_specs=[
+            tile3(4 * n),                              # statef'
+            tile3(4),                                  # statei'
+            pl.BlockSpec(memory_space=pltpu.ANY),      # obs (HBM, manual DMA)
+            tile3(n_steps),                            # dirs
+            tile3(n_steps),                            # acts
+            tile3(n_steps),                            # logp
+            tile3(n_steps),                            # value
+            tile3(n_steps),                            # reward
+            tile3(n_steps),                            # done
+            tile3(1),                                  # last_value
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((f_dim, sub, _LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((4 * n, nb, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((4, nb, _LANE), jnp.int32),
+        jax.ShapeDtypeStruct((n_steps, f_dim, nb, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, nb, _LANE), jnp.int32),
+        jax.ShapeDtypeStruct((n_steps, nb, _LANE), jnp.int32),
+        jax.ShapeDtypeStruct((n_steps, nb, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, nb, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, nb, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, nb, _LANE), jnp.int32),
+        jax.ShapeDtypeStruct((1, nb, _LANE), jnp.float32),
+    ]
+    fn = pl.pallas_call(
+        _collect_kernel(params, n_steps, sub, n_dense),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )
+    return tuple(fn(
+        jnp.asarray(seed, jnp.int32).reshape(1), *weights, statef, statei
+    ))

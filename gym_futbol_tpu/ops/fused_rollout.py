@@ -217,7 +217,8 @@ def _fused_step(px, py, vx, vy, possession, score0, score1, t,
     score1 = jnp.where(done, 0, score1)
     t = jnp.where(done, 0, t)
 
-    return px, py, vx, vy, possession, score0, score1, t, r0, goal0, goal1
+    return (px, py, vx, vy, possession, score0, score1, t, r0, goal0,
+            goal1, done)
 
 
 def _read_state(sf_ref, si_ref, n):
@@ -265,7 +266,8 @@ def _random_rollout_kernel(params: EnvParams, n_steps: int, sub: int):
             theta = _normal(shape) * jnp.float32(params.kick_noise)
             noise_x = [_uniform_pm1(shape) for _ in range(n)]
             noise_y = [_uniform_pm1(shape) for _ in range(n)]
-            px, py, vx, vy, poss, s0, s1, t, r0, _, _ = _fused_step(
+            (px, py, vx, vy, poss, s0, s1, t, r0, _, _,
+             _) = _fused_step(
                 px, py, vx, vy, poss, s0, s1, t,
                 dirs, acts, theta, noise_x, noise_y, params,
             )
@@ -365,7 +367,8 @@ def _replay_rollout_kernel(params: EnvParams, n_steps: int, sub: int):
             )
             dirs = [act_ref[step_i, 2 * p] for p in range(n_players)]
             acts = [act_ref[step_i, 2 * p + 1] for p in range(n_players)]
-            px, py, vx, vy, poss, s0, s1, t, r0, _, _ = _fused_step(
+            (px, py, vx, vy, poss, s0, s1, t, r0, _, _,
+             _) = _fused_step(
                 px, py, vx, vy, poss, s0, s1, t,
                 dirs, acts, zf, [zf] * n, [zf] * n, params,
             )

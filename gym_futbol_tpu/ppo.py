@@ -115,6 +115,48 @@ def collect_rollout(
     return runner, traj, last_value
 
 
+def collect_rollout_fused(
+    runner: RunnerState, model: ActorCritic, env_params: EnvParams,
+    cfg: PPOConfig, block: int = 1024,
+) -> tuple[RunnerState, Transition, jax.Array]:
+    """Drop-in for :func:`collect_rollout` on the Pallas fused-collect
+    kernel (ops/fused_collect.py): policy forward (MXU), sampling (on-core
+    PRNG), env step and auto-reset all run in ONE kernel; the trajectory
+    buffer is emitted directly in the layout the update consumes.
+
+    TPU only. The action-sampling RNG stream differs from the jnp path
+    (core PRNG vs jax.random) — same distribution, and logp/value are the
+    kernel's own outputs for its own actions, so the on-policy contract
+    holds (certified by parity/check_fused_collect.py).
+    """
+    from . import env as env_core
+    from .ops import pack_state, unpack_state
+    from .ops.fused_collect import flatten_actor_critic, fused_collect
+
+    w = flatten_actor_critic(runner.params, model)
+    sf, si = pack_state(runner.env_state, env_params)
+    key, k_seed, k_state = jax.random.split(runner.key, 3)
+    seed = jax.random.randint(k_seed, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+    (sf, si, obs, dirs, acts, logp, value, reward, done,
+     last_v) = fused_collect(
+        sf, si, w, seed, env_params, cfg.rollout_steps, block=block
+    )
+    t, b = cfg.rollout_steps, sf.shape[1] * 128
+    traj = Transition(
+        obs=jnp.moveaxis(obs.reshape(t, -1, b), 1, 2),   # [T, B, F]
+        dirs=dirs.reshape(t, b),
+        acts=acts.reshape(t, b),
+        logp=logp.reshape(t, b),
+        value=value.reshape(t, b),
+        reward=reward.reshape(t, b),
+        done=done.reshape(t, b).astype(bool),
+    )
+    env_state = unpack_state(sf, si, k_state, env_params)
+    new_obs = jax.vmap(lambda s: env_core.observe(s, env_params))(env_state)
+    runner = runner.replace(env_state=env_state, obs=new_obs, key=key)
+    return runner, traj, last_v.reshape(b)
+
+
 def compute_gae(
     traj: Transition, last_value: jax.Array, cfg: PPOConfig
 ) -> tuple[jax.Array, jax.Array]:
@@ -234,13 +276,17 @@ def update_epochs(
 def train_iteration(
     runner: RunnerState, model: ActorCritic, env_params: EnvParams,
     cfg: PPOConfig, tx, axis_name: str | None = None,
+    collect_fn=None,
 ) -> tuple[RunnerState, dict[str, jax.Array]]:
     """One full PPO iteration: rollout -> GAE -> epochs of updates.
 
     Pure and jittable; this is the unit that gets jit'd/shard_map'd by
-    :mod:`gym_futbol_tpu.parallel` and by ``train.py``.
+    :mod:`gym_futbol_tpu.parallel` and by ``train.py``. ``collect_fn``
+    defaults to the jnp :func:`collect_rollout`; pass
+    :func:`collect_rollout_fused` for the Pallas kernel path (TPU only).
     """
-    runner, traj, last_value = collect_rollout(runner, model, env_params, cfg)
+    collect_fn = collect_fn or collect_rollout
+    runner, traj, last_value = collect_fn(runner, model, env_params, cfg)
     adv, returns = compute_gae(traj, last_value, cfg)
     key, k_update = jax.random.split(runner.key)
     params, opt_state, metrics = update_epochs(

@@ -20,6 +20,9 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", choices=("ppo", "a2c"), default="ppo")
+    ap.add_argument("--fused-collect", action="store_true",
+                    help="collect PPO experience with the Pallas "
+                         "fused-collect kernel (TPU only)")
     ap.add_argument("--ppt", type=int, default=2, help="players per team")
     ap.add_argument("--envs", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=50)
@@ -68,6 +71,15 @@ def main() -> None:
         )
         tx = make_optimizer(cfg)
         from .ppo import train_iteration as iteration_fn
+
+        if args.fused_collect:
+            import functools
+
+            from .ppo import collect_rollout_fused
+
+            iteration_fn = functools.partial(
+                iteration_fn, collect_fn=collect_rollout_fused
+            )
     model = ActorCritic(
         n_players=env_params.n_players, hidden=tuple(args.hidden)
     )

@@ -1,0 +1,87 @@
+"""Fused-collect kernel internal consistency vs the flax model.
+
+The kernel emits (obs, packed actions, logp, value). Feeding its OWN obs
+back through the flax ActorCritic with the SAME weights must reproduce:
+
+- value exactly (deterministic function of obs) to f32 roundoff;
+- logp of the emitted actions (action_log_prob_and_entropy_packed)
+  likewise — this certifies the in-kernel obs assembly, MLP, sampling
+  bookkeeping and bit-packing all agree with the learner's view, which is
+  what the PPO ratio depends on.
+
+Also sanity-checks GAE inputs (done/reward ranges). TPU only.
+
+Run:  python parity/check_fused_collect.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from gym_futbol_tpu import EnvParams  # noqa: E402
+from gym_futbol_tpu.models.policy import (  # noqa: E402
+    ActorCritic,
+    action_log_prob_and_entropy_packed,
+)
+from gym_futbol_tpu.ppo import (  # noqa: E402
+    PPOConfig,
+    collect_rollout_fused,
+    init_runner,
+    make_optimizer,
+)
+from gym_futbol_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+
+def main() -> int:
+    env_params = EnvParams(players_per_team=2)
+    cfg = PPOConfig(rollout_steps=32)
+    model = ActorCritic(n_players=env_params.n_players)
+    tx = make_optimizer(cfg)
+    runner = init_runner(
+        jax.random.PRNGKey(0), model, env_params, cfg, n_envs=2048, tx=tx
+    )
+    runner, traj, last_v = jax.jit(
+        lambda r: collect_rollout_fused(r, model, env_params, cfg)
+    )(runner)
+
+    t, b = traj.reward.shape
+    flat_obs = traj.obs.reshape(t * b, -1)
+    logits, value = model.apply(runner.params, flat_obs)
+    logp, ent = action_log_prob_and_entropy_packed(
+        logits, traj.dirs.reshape(-1), traj.acts.reshape(-1)
+    )
+
+    v_err = float(jnp.abs(value - traj.value.reshape(-1)).max())
+    lp_err = float(jnp.abs(logp - traj.logp.reshape(-1)).max())
+    print(f"value err (kernel vs flax): {v_err:.3e}")
+    print(f"logp err  (kernel vs flax): {lp_err:.3e}")
+
+    done = np.asarray(traj.done)
+    rew = np.asarray(traj.reward)
+    # logp (what the PPO ratio depends on) must match tightly — measured
+    # bit-exact. value tolerates the platform's default bf16 matmul
+    # precision: BOTH the kernel and flax deviate from an f64 ground
+    # truth by ~4e-3 here (verified), they just round differently.
+    ok = v_err < 5e-3 and lp_err < 1e-5
+    ok &= bool(np.isfinite(rew).all())
+    ok &= set(np.unique(done)) <= {False, True}
+    # actions decode to the valid range
+    for p in range(env_params.n_players):
+        d = (np.asarray(traj.dirs) >> (3 * p)) & 7
+        a = (np.asarray(traj.acts) >> (3 * p)) & 7
+        ok &= bool((d < 5).all() and (a < 5).all())
+    print("OK" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
