@@ -45,3 +45,22 @@ class TestFusedActorPieces:
         a = policy(key, obs)
         assert a.shape == (8, P.players_per_team, 2)
         assert (np.asarray(a) >= 0).all() and (np.asarray(a) < 5).all()
+
+
+class TestFusedCollectPieces:
+    def test_flatten_actor_critic_shapes(self, key):
+        """flatten_actor_critic must emit (W, b) pairs in kernel order:
+        torso Denses, then logits head, then value head."""
+        from gym_futbol_tpu.models.policy import ActorCritic
+        from gym_futbol_tpu.models.policy import init_params
+        from gym_futbol_tpu.ops.fused_collect import flatten_actor_critic
+
+        model = ActorCritic(n_players=P.n_players, hidden=(32, 16))
+        params = init_params(key, model, P)
+        w = flatten_actor_critic(params, model)
+        f = 4 * P.n_bodies + 2
+        assert len(w) == 8  # 2 torso + logits + value, (W, b) each
+        assert w[0].shape == (f, 32) and w[1].shape == (32, 1)
+        assert w[2].shape == (32, 16) and w[3].shape == (16, 1)
+        assert w[4].shape == (16, P.n_players * 2 * 5)   # logits head
+        assert w[6].shape == (16, 1) and w[7].shape == (1, 1)  # value head
