@@ -165,9 +165,10 @@ def evaluate_fused(
     rew = np.asarray(jax.device_get(rew))
     return {
         "goals": goals.sum(axis=1),
-        "goals_per_episode": goals.sum(axis=1) * params.max_steps / (
-            n_envs * n_steps
-        ),
+        # Same normalization as evaluate()/_run_matches: total goals over
+        # the n_envs parallel matches (one "episode" per env slot,
+        # regardless of n_steps vs params.max_steps).
+        "goals_per_episode": goals.sum(axis=1) / n_envs,
         "win_rate_a": float((goals[0] > goals[1]).mean()),
         "win_rate_b": float((goals[1] > goals[0]).mean()),
         "draw_rate": float((goals[0] == goals[1]).mean()),

@@ -209,6 +209,12 @@ def fused_collect(
     nb = statef.shape[1]
     b = nb * _LANE
     assert b % block == 0, f"n_envs {b} must be a multiple of block {block}"
+    # Actions are bit-packed at 3 bits/player into one int32 word — same
+    # limit as models.policy.pack_actions (the reference's 1v1..5v5 range).
+    assert params.n_players <= 10, (
+        f"fused_collect bit-packs actions at 3 bits/player; "
+        f"n_players={params.n_players} > 10 would corrupt the packed words"
+    )
     sub = block // _LANE
     n_blocks = b // block
     n_dense = len(weights) // 2

@@ -117,7 +117,7 @@ def collect_rollout(
 
 def collect_rollout_fused(
     runner: RunnerState, model: ActorCritic, env_params: EnvParams,
-    cfg: PPOConfig, block: int = 1024,
+    cfg: PPOConfig, block: int | None = None,
 ) -> tuple[RunnerState, Transition, jax.Array]:
     """Drop-in for :func:`collect_rollout` on the Pallas fused-collect
     kernel (ops/fused_collect.py): policy forward (MXU), sampling (on-core
@@ -135,6 +135,12 @@ def collect_rollout_fused(
 
     w = flatten_actor_critic(runner.params, model)
     sf, si = pack_state(runner.env_state, env_params)
+    if block is None:
+        # Default to the largest kernel block that fits the (per-shard)
+        # env count — 1024 is the measured sweet spot, but smaller shards
+        # (e.g. 4096 envs over 8 devices) must not trip the kernel's
+        # divisibility assertion.
+        block = min(1024, sf.shape[1] * 128)
     key, k_seed, k_state = jax.random.split(runner.key, 3)
     seed = jax.random.randint(k_seed, (1,), 0, 2**31 - 1, dtype=jnp.int32)
     (sf, si, obs, dirs, acts, logp, value, reward, done,
@@ -228,7 +234,16 @@ def update_epochs(
     # Block-granular shuffle (see PPOConfig.shuffle_block): reshape the
     # flat buffer to [n_blocks, block, ...] so the per-epoch permutation
     # gathers whole contiguous blocks instead of single rows.
-    block = cfg.shuffle_block if n % cfg.shuffle_block == 0 else 1
+    # Fall back to row-level shuffling when the buffer is too small for
+    # block granularity: with n // block < minibatches the per-minibatch
+    # block count would round to zero and every minibatch would be empty
+    # (NaN loss, silent no-op update).
+    block = (
+        cfg.shuffle_block
+        if n % cfg.shuffle_block == 0
+        and n // cfg.shuffle_block >= cfg.minibatches
+        else 1
+    )
     n_blocks = n // block
     flat = jax.tree.map(
         lambda x: x.reshape((n_blocks, block) + x.shape[2:]), traj

@@ -90,6 +90,22 @@ class TestPolicy:
 
 
 class TestTraining:
+    def test_small_buffer_minibatches_not_empty(self, key):
+        """Regression (ADVICE r1): when T*B is a multiple of shuffle_block
+        but has fewer blocks than minibatches, the shuffle must fall back
+        to row granularity instead of producing empty minibatches."""
+        cfg = PPOConfig(rollout_steps=8, epochs=1, minibatches=4)
+        assert (8 * 16) % cfg.shuffle_block == 0
+        assert (8 * 16) // cfg.shuffle_block < cfg.minibatches
+        model = ActorCritic(n_players=ENV_P.n_players, hidden=(16,))
+        tx = make_optimizer(cfg)
+        runner = init_runner(key, model, ENV_P, cfg, n_envs=16, tx=tx)
+        runner, metrics = jax.jit(
+            lambda r: train_iteration(r, model, ENV_P, cfg, tx)
+        )(runner)
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (k, float(v))
+
     def test_single_device_iteration(self, key):
         cfg = PPOConfig(rollout_steps=8, epochs=2, minibatches=2)
         model = ActorCritic(n_players=ENV_P.n_players, hidden=(32,))
