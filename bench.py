@@ -185,7 +185,8 @@ def bench_ppo(args, with_update: bool, fused: bool = False) -> float:
 
     env_params = EnvParams(players_per_team=args.ppt)
     cfg = PPOConfig(rollout_steps=args.steps)
-    model = ActorCritic(n_players=env_params.n_players)
+    # per-team policy (self-play; ppo.collect_rollout docstring)
+    model = ActorCritic(n_players=env_params.players_per_team)
     tx = make_optimizer(cfg)
     mesh = make_mesh()
     runner = init_runner(

@@ -3,9 +3,10 @@
 The reference's training scripts use stable-baselines ``PPO2``/``A2C``
 (SURVEY.md §2.1 #12, §3.5). :mod:`gym_futbol_tpu.ppo` covers PPO; this
 module is the synchronous advantage actor-critic companion: one shared
-rollout (reused from ppo.collect_rollout), n-step/GAE targets, and a
-SINGLE full-batch gradient step per iteration — no clipping, no
-minibatch epochs. Classic A2C uses RMSProp (the stable-baselines
+self-play rollout (reused from ppo.collect_rollout — per-team policy,
+both perspectives in the buffer), n-step/GAE targets, and a SINGLE
+full-batch gradient step per iteration — no clipping, no minibatch
+epochs. Classic A2C uses RMSProp (the stable-baselines
 default); :func:`make_optimizer` follows that.
 
 Like PPO, the whole iteration is one pure jittable function, and the
@@ -92,7 +93,10 @@ def train_iteration(
     updates, opt_state = tx.update(grads, runner.opt_state, runner.params)
     params = optax.apply_updates(runner.params, updates)
 
-    metrics["mean_reward"] = traj.reward.mean()
+    # team-0 perspective rows only (self-play buffer layout; see ppo.py)
+    metrics["mean_reward"] = traj.reward[
+        :, : traj.reward.shape[1] // 2
+    ].mean()
     if axis_name is not None:
         metrics["mean_reward"] = jax.lax.pmean(metrics["mean_reward"], axis_name)
     return runner.replace(params=params, opt_state=opt_state), metrics

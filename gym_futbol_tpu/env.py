@@ -61,6 +61,56 @@ def obs_size(params: EnvParams) -> int:
     return 4 * params.n_bodies + 2
 
 
+def mirror_obs(obs: jax.Array, params: EnvParams) -> jax.Array:
+    """Present team 1 with a team-0 view: mirror x about the field center
+    and swap the team blocks, so ONE policy can play either side. This is
+    the symmetry that makes per-team self-play training work (the learner
+    only ever sees the world from 'my goal is on the left').
+
+    Self-inverse: ``mirror_obs(mirror_obs(o)) == o``.
+
+    Obs layout (OBSERVATION SPEC above): ALL positions first
+    ([x0, y0, x1, y1, ...], normalized), then all velocities, then the 2
+    possession flags — NOT interleaved per body.
+    """
+    n = params.n_bodies
+    ppt = params.players_per_team
+
+    def reorder_pairs(block, negate_x: bool, one_minus_x: bool):
+        # block [.., 2n] of per-body (x, y) pairs -> mirrored + team-swapped
+        pairs = block.reshape(block.shape[:-1] + (n, 2))
+        x = pairs[..., 0]
+        if one_minus_x:
+            x = 1.0 - x
+        if negate_x:
+            x = -x
+        pairs = jnp.stack([x, pairs[..., 1]], axis=-1)
+        ball = pairs[..., :1, :]
+        t0 = pairs[..., 1 : 1 + ppt, :]
+        t1 = pairs[..., 1 + ppt : 1 + 2 * ppt, :]
+        pairs = jnp.concatenate([ball, t1, t0], axis=-2)
+        return pairs.reshape(block.shape)
+
+    pos = reorder_pairs(obs[..., : 2 * n], negate_x=False, one_minus_x=True)
+    vel = reorder_pairs(
+        obs[..., 2 * n : 4 * n], negate_x=True, one_minus_x=False
+    )
+    flags = obs[..., 4 * n :]
+    flags = jnp.stack([flags[..., 1], flags[..., 0]], axis=-1)
+    return jnp.concatenate([pos, vel, flags], axis=-1)
+
+
+def mirror_actions(actions: jax.Array) -> jax.Array:
+    """Map team actions between the mirrored frame and the world frame:
+    swap the left/right direction choices (2 <-> 4) in slot 0. The act
+    slot is frame-independent (targets are chosen from positions).
+    Self-inverse. ``actions``: [.., n, 2] int32 per the ACTION SPEC.
+    """
+    dirs = actions[..., 0]
+    dirs = jnp.where(dirs == 2, 4, jnp.where(dirs == 4, 2, dirs))
+    return actions.at[..., 0].set(dirs)
+
+
 def reset(
     key: jax.Array, params: EnvParams, dtype=jnp.float32
 ) -> tuple[EnvState, jax.Array]:

@@ -19,6 +19,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from .env import mirror_actions, mirror_obs  # canonical defs live in env
 from .types import EnvParams
 from .vector import reset_batch, rollout
 
@@ -36,41 +37,6 @@ def random_team_policy(params: EnvParams) -> TeamPolicy:
     return policy
 
 
-def mirror_obs(obs: jax.Array, params: EnvParams) -> jax.Array:
-    """Present team 1 with a team-0 view: mirror x about the field center
-    and swap the team blocks, so one policy can play either side.
-
-    Obs layout (env.observe OBSERVATION SPEC): ALL positions first
-    ([x0, y0, x1, y1, ...], normalized), then all velocities, then the 2
-    possession flags — NOT interleaved per body.
-    """
-    n = params.n_bodies
-    ppt = params.players_per_team
-
-    def reorder_pairs(block, negate_x: bool, one_minus_x: bool):
-        # block [.., 2n] of per-body (x, y) pairs -> mirrored + team-swapped
-        pairs = block.reshape(block.shape[:-1] + (n, 2))
-        x = pairs[..., 0]
-        if one_minus_x:
-            x = 1.0 - x
-        if negate_x:
-            x = -x
-        pairs = jnp.stack([x, pairs[..., 1]], axis=-1)
-        ball = pairs[..., :1, :]
-        t0 = pairs[..., 1 : 1 + ppt, :]
-        t1 = pairs[..., 1 + ppt : 1 + 2 * ppt, :]
-        pairs = jnp.concatenate([ball, t1, t0], axis=-2)
-        return pairs.reshape(block.shape)
-
-    pos = reorder_pairs(obs[..., : 2 * n], negate_x=False, one_minus_x=True)
-    vel = reorder_pairs(
-        obs[..., 2 * n : 4 * n], negate_x=True, one_minus_x=False
-    )
-    flags = obs[..., 4 * n :]
-    flags = jnp.stack([flags[..., 1], flags[..., 0]], axis=-1)
-    return jnp.concatenate([pos, vel, flags], axis=-1)
-
-
 def joint_policy(
     params: EnvParams, policy_a: TeamPolicy, policy_b: TeamPolicy,
 ) -> Callable[[jax.Array, jax.Array], jax.Array]:
@@ -81,10 +47,8 @@ def joint_policy(
         ka, kb = jax.random.split(key)
         act_a = policy_a(ka, obs)
         act_b = policy_b(kb, mirror_obs(obs, params))
-        # un-mirror team 1's direction choices: swap left/right (2 <-> 4)
-        dirs = act_b[..., 0]
-        dirs = jnp.where(dirs == 2, 4, jnp.where(dirs == 4, 2, dirs))
-        act_b = act_b.at[..., 0].set(dirs)
+        # map team 1's choices back to the world frame (swap left/right)
+        act_b = mirror_actions(act_b)
         return jnp.concatenate([act_a, act_b], axis=-2)
 
     return policy

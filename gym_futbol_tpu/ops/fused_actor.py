@@ -204,7 +204,7 @@ def _selfplay_kernel(params: EnvParams, n_steps: int, sub: int,
             noise_x = [_uniform01(shape) * 2.0 - 1.0 for _ in range(n)]
             noise_y = [_uniform01(shape) * 2.0 - 1.0 for _ in range(n)]
 
-            (px, py, vx, vy, poss, s0, s1, t, r0, goal0, goal1,
+            (px, py, vx, vy, poss, s0, s1, t, r0, _, goal0, goal1,
              _) = _fused_step(
                 px, py, vx, vy, poss, s0, s1, t,
                 dirs, acts, theta, noise_x, noise_y, params,

@@ -1,22 +1,28 @@
-"""Fused PPO experience collection: joint actor-critic in-kernel.
+"""Fused SELF-PLAY PPO experience collection: per-team actor-critic
+in-kernel.
 
-One Mosaic kernel runs the whole T-step PPO rollout — the joint
-ActorCritic forward (MXU matmuls over [feature, block] matrices), action
-sampling + joint log-prob (row form, on-core PRNG), the full env step,
-and auto-reset — and emits exactly what the PPO update consumes:
+One Mosaic kernel runs the whole T-step PPO rollout — the per-TEAM
+ActorCritic forward on BOTH views (the true team-0 view and the mirrored
+team-1 view; MXU matmuls over [feature, block] matrices), action sampling
++ joint log-prob per view (row form, on-core PRNG), the full env step
+driven by both teams' sampled actions, and auto-reset — and emits exactly
+what the self-play PPO update consumes (see ppo.collect_rollout: rows are
+perspectives; view 0 = team 0, view 1 = team 1 in its mirrored frame):
 
-    obs    [T, F, B//128, 128] f32  (streamed to HBM per step via DMA)
-    dirs   [T, B//128, 128] i32     (bit-packed, 3 bits/player)
-    acts   [T, B//128, 128] i32
-    logp   [T, B//128, 128] f32
-    value  [T, B//128, 128] f32
-    reward [T, B//128, 128] f32
-    done   [T, B//128, 128] i32
-    last_value [1, B//128, 128] f32 (bootstrap for GAE)
+    obs    [T, 2, F, B//128, 128] f32  (streamed to HBM per step via DMA)
+    dirs   [T, 2, B//128, 128] i32     (bit-packed, 3 bits/player,
+                                        view 1 in the MIRRORED frame)
+    acts   [T, 2, B//128, 128] i32
+    logp   [T, 2, B//128, 128] f32
+    value  [T, 2, B//128, 128] f32
+    reward [T, 2, B//128, 128] f32     (view k carries team k's reward)
+    done   [T, 2, B//128, 128] i32
+    last_value [2, B//128, 128] f32    (bootstrap for GAE, both views)
 
-The per-step observation block (~100-200 KB) is written to the HBM
-output with ``pltpu.make_async_copy`` from a VMEM scratch — the [T, F, B]
-buffer would not fit in VMEM, and everything else stays resident.
+The per-step observation block (~200-400 KB) is written to the HBM
+output with ``pltpu.make_async_copy`` from a VMEM scratch — the
+[T, 2, F, B] buffer would not fit in VMEM, and everything else stays
+resident.
 
 RNG: the on-core PRNG (sampling stream differs from jax.random by
 design; the PPO update recomputes log-probs from the SAME obs/actions
@@ -35,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..types import EnvParams
-from .fused_actor import _mlp_logit_rows, _obs_matrix, N_CHOICES
+from .fused_actor import _mlp_logit_rows, _obs_matrix, _unmirror_dir, N_CHOICES
 from .fused_rollout import (
     _LANE,
     _fused_step,
@@ -92,7 +98,7 @@ def _sample_with_logp(logit_rows, n_groups: int, block: int, sub: int):
 def _collect_kernel(params: EnvParams, n_steps: int, sub: int,
                     n_dense: int):
     n = params.n_bodies
-    n_players = params.n_players
+    ppt = params.players_per_team
     block = sub * _LANE
     shape = (sub, _LANE)
     f_dim = 4 * n + 2
@@ -111,8 +117,8 @@ def _collect_kernel(params: EnvParams, n_steps: int, sub: int,
         state = _read_state(sf_ref, si_ref, n)
         blk = pl.program_id(0)
 
-        def forward(px, py, vx, vy, poss):
-            x = _obs_matrix(px, py, vx, vy, poss, params, False, block)
+        def forward(px, py, vx, vy, poss, mirror):
+            x = _obs_matrix(px, py, vx, vy, poss, params, mirror, block)
             h = _mlp_logit_rows(x, torso, block)
             h = jnp.tanh(h)  # torso layers end with tanh (ActorCritic)
             logits = jax.lax.dot_general(
@@ -130,40 +136,61 @@ def _collect_kernel(params: EnvParams, n_steps: int, sub: int,
                 list(carry[0]), list(carry[1]), list(carry[2]),
                 list(carry[3]), carry[4], carry[5], carry[6], carry[7],
             )
-            x, logits, value = forward(px, py, vx, vy, poss)
+            # per-team policy on both views (view 1 = mirrored team-1)
+            xa, la, va = forward(px, py, vx, vy, poss, False)
+            xb, lb, vb = forward(px, py, vx, vy, poss, True)
 
-            # stream this step's obs block to HBM
-            obs_scratch[:] = x.reshape(f_dim, sub, _LANE)
+            # stream this step's two obs blocks to HBM in one DMA
+            obs_scratch[0] = xa.reshape(f_dim, sub, _LANE)
+            obs_scratch[1] = xb.reshape(f_dim, sub, _LANE)
             dma = pltpu.make_async_copy(
                 obs_scratch,
-                obs_hbm.at[step_i, :, pl.ds(blk * sub, sub), :],
+                obs_hbm.at[step_i, :, :, pl.ds(blk * sub, sub), :],
                 dma_sem,
             )
             dma.start()
 
-            idxs, logp = _sample_with_logp(logits, 2 * n_players, block, sub)
-            dirs = [idxs[2 * p] for p in range(n_players)]
-            acts = [idxs[2 * p + 1] for p in range(n_players)]
-            dpack = jnp.zeros(shape, jnp.int32)
-            apack = jnp.zeros(shape, jnp.int32)
-            for p in range(n_players):
-                dpack = dpack | (dirs[p] << (3 * p))
-                apack = apack | (acts[p] << (3 * p))
+            ia, logp_a = _sample_with_logp(la, 2 * ppt, block, sub)
+            ib, logp_b = _sample_with_logp(lb, 2 * ppt, block, sub)
+            # world-frame joint action: team 0 as sampled, team 1's
+            # directions un-mirrored (evaluate.joint_policy semantics)
+            dirs = [ia[2 * p] for p in range(ppt)]
+            dirs += [_unmirror_dir(ib[2 * p]) for p in range(ppt)]
+            acts = [ia[2 * p + 1] for p in range(ppt)]
+            acts += [ib[2 * p + 1] for p in range(ppt)]
+            # packed actions per view, each in ITS OWN frame (the frame
+            # its logits/logp live in — what the PPO update recomputes)
+            dpack_a = jnp.zeros(shape, jnp.int32)
+            apack_a = jnp.zeros(shape, jnp.int32)
+            dpack_b = jnp.zeros(shape, jnp.int32)
+            apack_b = jnp.zeros(shape, jnp.int32)
+            for p in range(ppt):
+                dpack_a = dpack_a | (ia[2 * p] << (3 * p))
+                apack_a = apack_a | (ia[2 * p + 1] << (3 * p))
+                dpack_b = dpack_b | (ib[2 * p] << (3 * p))
+                apack_b = apack_b | (ib[2 * p + 1] << (3 * p))
 
             theta = _normal(shape) * jnp.float32(params.kick_noise)
             noise_x = [_uniform_pm1(shape) for _ in range(n)]
             noise_y = [_uniform_pm1(shape) for _ in range(n)]
-            (px, py, vx, vy, poss, s0, s1, t, r0, _, _,
+            (px, py, vx, vy, poss, s0, s1, t, r0, r1, _, _,
              done) = _fused_step(
                 px, py, vx, vy, poss, s0, s1, t,
                 dirs, acts, theta, noise_x, noise_y, params,
             )
-            dirs_ref[step_i] = dpack
-            acts_ref[step_i] = apack
-            logp_ref[step_i] = logp.reshape(sub, _LANE)
-            val_ref[step_i] = value.reshape(sub, _LANE)
-            rew_ref[step_i] = r0
-            done_ref[step_i] = done.astype(jnp.int32)
+            done_i = done.astype(jnp.int32)
+            dirs_ref[step_i, 0] = dpack_a
+            dirs_ref[step_i, 1] = dpack_b
+            acts_ref[step_i, 0] = apack_a
+            acts_ref[step_i, 1] = apack_b
+            logp_ref[step_i, 0] = logp_a.reshape(sub, _LANE)
+            logp_ref[step_i, 1] = logp_b.reshape(sub, _LANE)
+            val_ref[step_i, 0] = va.reshape(sub, _LANE)
+            val_ref[step_i, 1] = vb.reshape(sub, _LANE)
+            rew_ref[step_i, 0] = r0
+            rew_ref[step_i, 1] = r1
+            done_ref[step_i, 0] = done_i
+            done_ref[step_i, 1] = done_i
             dma.wait()  # scratch reused next iteration
             return (tuple(px), tuple(py), tuple(vx), tuple(vy),
                     poss, s0, s1, t)
@@ -176,9 +203,11 @@ def _collect_kernel(params: EnvParams, n_steps: int, sub: int,
                           list(out[3]))
         _write_state(out_sf, out_si, n, px, py, vx, vy,
                      out[4], out[5], out[6], out[7])
-        # bootstrap value of the carried (post-reset) final state
-        _, _, last_value = forward(px, py, vx, vy, out[4])
-        lastv_ref[0] = last_value.reshape(sub, _LANE)
+        # bootstrap values of the carried (post-reset) final state
+        _, _, last_a = forward(px, py, vx, vy, out[4], False)
+        _, _, last_b = forward(px, py, vx, vy, out[4], True)
+        lastv_ref[0] = last_a.reshape(sub, _LANE)
+        lastv_ref[1] = last_b.reshape(sub, _LANE)
 
     return kernel
 
@@ -209,11 +238,13 @@ def fused_collect(
     nb = statef.shape[1]
     b = nb * _LANE
     assert b % block == 0, f"n_envs {b} must be a multiple of block {block}"
-    # Actions are bit-packed at 3 bits/player into one int32 word — same
-    # limit as models.policy.pack_actions (the reference's 1v1..5v5 range).
-    assert params.n_players <= 10, (
+    # Actions are bit-packed at 3 bits/player into one int32 word per
+    # TEAM — same limit as models.policy.pack_actions for the per-team
+    # model (the reference's 1v1..5v5 range is well inside it).
+    assert params.players_per_team <= 10, (
         f"fused_collect bit-packs actions at 3 bits/player; "
-        f"n_players={params.n_players} > 10 would corrupt the packed words"
+        f"players_per_team={params.players_per_team} > 10 would corrupt "
+        f"the packed words"
     )
     sub = block // _LANE
     n_blocks = b // block
@@ -224,6 +255,12 @@ def fused_collect(
     )
     tile3 = lambda rows: pl.BlockSpec(
         (rows, sub, _LANE), lambda i, seed: (0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    # trajectory tiles carry a perspective axis (view 0 = team 0's,
+    # view 1 = team 1's mirrored view; module docstring)
+    tile4 = lambda rows: pl.BlockSpec(
+        (rows, 2, sub, _LANE), lambda i, seed: (0, 0, i, 0),
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -238,30 +275,30 @@ def fused_collect(
             tile3(4 * n),                              # statef'
             tile3(4),                                  # statei'
             pl.BlockSpec(memory_space=pltpu.ANY),      # obs (HBM, manual DMA)
-            tile3(n_steps),                            # dirs
-            tile3(n_steps),                            # acts
-            tile3(n_steps),                            # logp
-            tile3(n_steps),                            # value
-            tile3(n_steps),                            # reward
-            tile3(n_steps),                            # done
-            tile3(1),                                  # last_value
+            tile4(n_steps),                            # dirs
+            tile4(n_steps),                            # acts
+            tile4(n_steps),                            # logp
+            tile4(n_steps),                            # value
+            tile4(n_steps),                            # reward
+            tile4(n_steps),                            # done
+            tile3(2),                                  # last_value (2 views)
         ],
         scratch_shapes=[
-            pltpu.VMEM((f_dim, sub, _LANE), jnp.float32),
+            pltpu.VMEM((2, f_dim, sub, _LANE), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     out_shape = [
         jax.ShapeDtypeStruct((4 * n, nb, _LANE), jnp.float32),
         jax.ShapeDtypeStruct((4, nb, _LANE), jnp.int32),
-        jax.ShapeDtypeStruct((n_steps, f_dim, nb, _LANE), jnp.float32),
-        jax.ShapeDtypeStruct((n_steps, nb, _LANE), jnp.int32),
-        jax.ShapeDtypeStruct((n_steps, nb, _LANE), jnp.int32),
-        jax.ShapeDtypeStruct((n_steps, nb, _LANE), jnp.float32),
-        jax.ShapeDtypeStruct((n_steps, nb, _LANE), jnp.float32),
-        jax.ShapeDtypeStruct((n_steps, nb, _LANE), jnp.float32),
-        jax.ShapeDtypeStruct((n_steps, nb, _LANE), jnp.int32),
-        jax.ShapeDtypeStruct((1, nb, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, 2, f_dim, nb, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, 2, nb, _LANE), jnp.int32),
+        jax.ShapeDtypeStruct((n_steps, 2, nb, _LANE), jnp.int32),
+        jax.ShapeDtypeStruct((n_steps, 2, nb, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, 2, nb, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, 2, nb, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, 2, nb, _LANE), jnp.int32),
+        jax.ShapeDtypeStruct((2, nb, _LANE), jnp.float32),
     ]
     fn = pl.pallas_call(
         _collect_kernel(params, n_steps, sub, n_dense),

@@ -153,7 +153,8 @@ def _fused_step(px, py, vx, vy, possession, score0, score1, t,
                 dirs, acts, theta, noise_x, noise_y, params: EnvParams):
     """One env.step(auto_reset=True) on env tiles — the same pipeline as
     gym_futbol_tpu.env.step, built from the same scalar-form functions.
-    Returns (new state tiles..., r0 team-0 reward tile)."""
+    Returns (new state tiles..., r0/r1 per-team reward tiles, goal flags,
+    done)."""
     dtype = jnp.float32
     n = params.n_bodies
     px_before, py_before = list(px), list(py)
@@ -217,7 +218,7 @@ def _fused_step(px, py, vx, vy, possession, score0, score1, t,
     score1 = jnp.where(done, 0, score1)
     t = jnp.where(done, 0, t)
 
-    return (px, py, vx, vy, possession, score0, score1, t, r0, goal0,
+    return (px, py, vx, vy, possession, score0, score1, t, r0, r1, goal0,
             goal1, done)
 
 
@@ -266,7 +267,7 @@ def _random_rollout_kernel(params: EnvParams, n_steps: int, sub: int):
             theta = _normal(shape) * jnp.float32(params.kick_noise)
             noise_x = [_uniform_pm1(shape) for _ in range(n)]
             noise_y = [_uniform_pm1(shape) for _ in range(n)]
-            (px, py, vx, vy, poss, s0, s1, t, r0, _, _,
+            (px, py, vx, vy, poss, s0, s1, t, r0, _, _, _,
              _) = _fused_step(
                 px, py, vx, vy, poss, s0, s1, t,
                 dirs, acts, theta, noise_x, noise_y, params,
@@ -367,7 +368,7 @@ def _replay_rollout_kernel(params: EnvParams, n_steps: int, sub: int):
             )
             dirs = [act_ref[step_i, 2 * p] for p in range(n_players)]
             acts = [act_ref[step_i, 2 * p + 1] for p in range(n_players)]
-            (px, py, vx, vy, poss, s0, s1, t, r0, _, _,
+            (px, py, vx, vy, poss, s0, s1, t, r0, _, _, _,
              _) = _fused_step(
                 px, py, vx, vy, poss, s0, s1, t,
                 dirs, acts, zf, [zf] * n, [zf] * n, params,

@@ -1,12 +1,22 @@
 """PPO learner, fully on-device (BASELINE.json configs 4-5).
 
 The reference's training story is stable-baselines ``PPO2`` over a Python
-rollout loop (SURVEY.md §3.5) — host-bound, single process. Here the whole
-iteration (rollout with lax.scan -> GAE -> minibatched clipped-surrogate
-epochs) is one jittable pure function over the batched env, so it runs as
-a single XLA program per iteration and shards over the ``env`` mesh axis
-(see :mod:`gym_futbol_tpu.parallel`): trajectories stay device-local, the
-only collective is the gradient/metric reduction (SURVEY.md §2.3).
+rollout loop (SURVEY.md §3.5) — host-bound, single process, one agent
+controlling one side. Here the whole iteration (rollout with lax.scan ->
+GAE -> minibatched clipped-surrogate epochs) is one jittable pure function
+over the batched env, so it runs as a single XLA program per iteration and
+shards over the ``env`` mesh axis (see :mod:`gym_futbol_tpu.parallel`):
+trajectories stay device-local, the only collective is the gradient/metric
+reduction (SURVEY.md §2.3).
+
+TRAINING SETUP: symmetric SELF-PLAY with one shared per-team policy. The
+env is two-sided; the learner controls team 0 directly and team 1 through
+the mirrored observation (env.mirror_obs / env.mirror_actions), and BOTH
+perspectives' transitions — each with its own team's reward — fill the
+buffer (2x samples per env-step at one env's cost). This matches the
+reference's one-agent-one-side semantics (SURVEY.md §3.5) while staying
+fully batched; a single joint policy rewarded only on team 0 would learn
+to make team 1 concede.
 """
 
 from __future__ import annotations
@@ -86,23 +96,54 @@ def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
     )
 
 
+def _both_views(obs: jax.Array, env_params: EnvParams) -> jax.Array:
+    """[B, F] world obs -> [2B, F]: rows [:B] are the team-0 view, rows
+    [B:] the team-1 view (env.mirror_obs)."""
+    return jnp.concatenate([obs, env_core.mirror_obs(obs, env_params)], axis=0)
+
+
 def collect_rollout(
     runner: RunnerState, model: ActorCritic, env_params: EnvParams,
     cfg: PPOConfig,
 ) -> tuple[RunnerState, Transition, jax.Array]:
-    """T steps of experience via lax.scan. Returns (runner, traj [T,B,...],
-    bootstrap value [B])."""
+    """T steps of SELF-PLAY experience via lax.scan.
+
+    ``model`` is a per-TEAM policy (``model.n_players ==
+    env_params.players_per_team``). Each step it is applied to the true
+    observation (team-0 view) and to the mirrored observation (team-1
+    view, :func:`env.mirror_obs`); the two action sets drive BOTH teams
+    of the same envs, and BOTH perspectives' transitions enter the buffer
+    — team k's rows carry team k's own reward (``out.team_reward[:, k]``),
+    so the shared policy improves each side from its own signal instead of
+    teaching team 1 to concede. Returns (runner, traj [T, 2B, ...],
+    bootstrap value [2B]); rows [:B] are team 0's perspective, rows [B:]
+    team 1's in its mirrored frame (actions/logp consistent with the
+    mirrored logits).
+    """
+    assert model.n_players == env_params.players_per_team, (
+        f"self-play PPO trains a per-team policy: model.n_players="
+        f"{model.n_players} must equal players_per_team="
+        f"{env_params.players_per_team}"
+    )
+    b = runner.obs.shape[0]
 
     def body(carry, _):
         env_state, obs, key = carry
         key, k_act = jax.random.split(key)
-        logits, value = model.apply(runner.params, obs)
-        action, logp = sample_actions(k_act, logits)
-        env_state, out = step_batch(env_state, action, env_params)
-        dirs, acts = pack_actions(action)
+        obs2 = _both_views(obs, env_params)
+        logits, value = model.apply(runner.params, obs2)
+        action2, logp = sample_actions(k_act, logits)   # [2B, ppt, 2]
+        joint = jnp.concatenate(
+            [action2[:b], env_core.mirror_actions(action2[b:])], axis=1
+        )
+        env_state, out = step_batch(env_state, joint, env_params)
+        dirs, acts = pack_actions(action2)
         tr = Transition(
-            obs=obs, dirs=dirs, acts=acts, logp=logp, value=value,
-            reward=out.reward, done=out.done,
+            obs=obs2, dirs=dirs, acts=acts, logp=logp, value=value,
+            reward=jnp.concatenate(
+                [out.team_reward[:, 0], out.team_reward[:, 1]], axis=0
+            ),
+            done=jnp.concatenate([out.done, out.done], axis=0),
         )
         return (env_state, out.obs, key), tr
 
@@ -110,7 +151,7 @@ def collect_rollout(
         body, (runner.env_state, runner.obs, runner.key), None,
         length=cfg.rollout_steps,
     )
-    _, last_value = model.apply(runner.params, obs)
+    _, last_value = model.apply(runner.params, _both_views(obs, env_params))
     runner = runner.replace(env_state=env_state, obs=obs, key=key)
     return runner, traj, last_value
 
@@ -120,9 +161,11 @@ def collect_rollout_fused(
     cfg: PPOConfig, block: int | None = None,
 ) -> tuple[RunnerState, Transition, jax.Array]:
     """Drop-in for :func:`collect_rollout` on the Pallas fused-collect
-    kernel (ops/fused_collect.py): policy forward (MXU), sampling (on-core
-    PRNG), env step and auto-reset all run in ONE kernel; the trajectory
-    buffer is emitted directly in the layout the update consumes.
+    kernel (ops/fused_collect.py): BOTH views' per-team policy forward
+    (MXU), sampling (on-core PRNG), env step and auto-reset all run in
+    ONE kernel; the trajectory buffer is emitted directly in the
+    perspective layout the self-play update consumes ([T, 2B, ...], rows
+    [:B] team 0's view, [B:] team 1's mirrored view).
 
     TPU only. The action-sampling RNG stream differs from the jnp path
     (core PRNG vs jax.random) — same distribution, and logp/value are the
@@ -133,6 +176,9 @@ def collect_rollout_fused(
     from .ops import pack_state, unpack_state
     from .ops.fused_collect import flatten_actor_critic, fused_collect
 
+    assert model.n_players == env_params.players_per_team, (
+        "self-play PPO trains a per-team policy (see collect_rollout)"
+    )
     w = flatten_actor_critic(runner.params, model)
     sf, si = pack_state(runner.env_state, env_params)
     if block is None:
@@ -148,19 +194,21 @@ def collect_rollout_fused(
         sf, si, w, seed, env_params, cfg.rollout_steps, block=block
     )
     t, b = cfg.rollout_steps, sf.shape[1] * 128
+    f = env_core.obs_size(env_params)
     traj = Transition(
-        obs=jnp.moveaxis(obs.reshape(t, -1, b), 1, 2),   # [T, B, F]
-        dirs=dirs.reshape(t, b),
-        acts=acts.reshape(t, b),
-        logp=logp.reshape(t, b),
-        value=value.reshape(t, b),
-        reward=reward.reshape(t, b),
-        done=done.reshape(t, b).astype(bool),
+        # [T, 2, F, nb, 128] -> [T, 2, B, F] -> [T, 2B, F]
+        obs=jnp.swapaxes(obs.reshape(t, 2, f, b), 2, 3).reshape(t, 2 * b, f),
+        dirs=dirs.reshape(t, 2 * b),
+        acts=acts.reshape(t, 2 * b),
+        logp=logp.reshape(t, 2 * b),
+        value=value.reshape(t, 2 * b),
+        reward=reward.reshape(t, 2 * b),
+        done=done.reshape(t, 2 * b).astype(bool),
     )
     env_state = unpack_state(sf, si, k_state, env_params)
     new_obs = jax.vmap(lambda s: env_core.observe(s, env_params))(env_state)
     runner = runner.replace(env_state=env_state, obs=new_obs, key=key)
-    return runner, traj, last_v.reshape(b)
+    return runner, traj, last_v.reshape(2 * b)
 
 
 def compute_gae(
@@ -308,7 +356,11 @@ def train_iteration(
         runner.params, runner.opt_state, traj, adv, returns, k_update,
         model, tx, cfg, axis_name,
     )
-    metrics["mean_reward"] = traj.reward.mean()
+    # traj rows [:B] are team 0's perspective, [B:] team 1's; report the
+    # team-0 view so the metric is comparable with evaluate().
+    metrics["mean_reward"] = traj.reward[
+        :, : traj.reward.shape[1] // 2
+    ].mean()
     if axis_name is not None:
         metrics["mean_reward"] = jax.lax.pmean(metrics["mean_reward"], axis_name)
     runner = runner.replace(params=params, opt_state=opt_state, key=key)

@@ -80,8 +80,10 @@ def main() -> None:
             iteration_fn = functools.partial(
                 iteration_fn, collect_fn=collect_rollout_fused
             )
+    # Per-team policy: self-play training controls both sides with one
+    # shared policy through the mirrored view (ppo.collect_rollout).
     model = ActorCritic(
-        n_players=env_params.n_players, hidden=tuple(args.hidden)
+        n_players=env_params.players_per_team, hidden=tuple(args.hidden)
     )
     mesh = make_mesh()
     if args.envs % jax.device_count():

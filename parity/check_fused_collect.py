@@ -42,19 +42,23 @@ enable_compilation_cache()
 
 
 def main() -> int:
+    from gym_futbol_tpu.env import mirror_obs  # noqa: E402
+
     env_params = EnvParams(players_per_team=2)
     cfg = PPOConfig(rollout_steps=32)
-    model = ActorCritic(n_players=env_params.n_players)
+    model = ActorCritic(n_players=env_params.players_per_team)
     tx = make_optimizer(cfg)
+    n_envs = 2048
     runner = init_runner(
-        jax.random.PRNGKey(0), model, env_params, cfg, n_envs=2048, tx=tx
+        jax.random.PRNGKey(0), model, env_params, cfg, n_envs=n_envs, tx=tx
     )
     runner, traj, last_v = jax.jit(
         lambda r: collect_rollout_fused(r, model, env_params, cfg)
     )(runner)
 
-    t, b = traj.reward.shape
-    flat_obs = traj.obs.reshape(t * b, -1)
+    t, b2 = traj.reward.shape
+    assert b2 == 2 * n_envs, "self-play buffer: both perspectives"
+    flat_obs = traj.obs.reshape(t * b2, -1)
     logits, value = model.apply(runner.params, flat_obs)
     logp, ent = action_log_prob_and_entropy_packed(
         logits, traj.dirs.reshape(-1), traj.acts.reshape(-1)
@@ -65,17 +69,28 @@ def main() -> int:
     print(f"value err (kernel vs flax): {v_err:.3e}")
     print(f"logp err  (kernel vs flax): {lp_err:.3e}")
 
+    # the kernel's mirrored (team-1) view must equal env.mirror_obs of its
+    # team-0 view — certifies the in-kernel _obs_matrix(mirror=True)
+    obs_a = traj.obs[:, :n_envs]
+    obs_b = traj.obs[:, n_envs:]
+    mir_err = float(jnp.abs(mirror_obs(obs_a, env_params) - obs_b).max())
+    print(f"mirror err (kernel view 1 vs env.mirror_obs): {mir_err:.3e}")
+
     done = np.asarray(traj.done)
     rew = np.asarray(traj.reward)
     # logp (what the PPO ratio depends on) must match tightly — measured
     # bit-exact. value tolerates the platform's default bf16 matmul
     # precision: BOTH the kernel and flax deviate from an f64 ground
     # truth by ~4e-3 here (verified), they just round differently.
-    ok = v_err < 5e-3 and lp_err < 1e-5
+    ok = v_err < 5e-3 and lp_err < 1e-5 and mir_err < 1e-6
     ok &= bool(np.isfinite(rew).all())
     ok &= set(np.unique(done)) <= {False, True}
-    # actions decode to the valid range
-    for p in range(env_params.n_players):
+    # the two perspectives' rewards genuinely differ (not r0 twice)
+    ok &= bool(np.abs(rew[:, :n_envs] - rew[:, n_envs:]).max() > 1e-4)
+    # both halves' dones agree (same envs)
+    ok &= bool((done[:, :n_envs] == done[:, n_envs:]).all())
+    # actions decode to the valid range (per-team packing)
+    for p in range(env_params.players_per_team):
         d = (np.asarray(traj.dirs) >> (3 * p)) & 7
         a = (np.asarray(traj.acts) >> (3 * p)) & 7
         ok &= bool((d < 5).all() and (a < 5).all())

@@ -18,7 +18,7 @@ CFG = a2c.A2CConfig(rollout_steps=4)
 
 
 def _setup(n_envs=16):
-    model = ActorCritic(n_players=P.n_players, hidden=(32,))
+    model = ActorCritic(n_players=P.players_per_team, hidden=(32,))
     tx = a2c.make_optimizer(CFG)
     runner = a2c.init_runner(
         jax.random.PRNGKey(0), model, P, CFG, n_envs=n_envs, tx=tx

@@ -55,12 +55,12 @@ class TestFusedCollectPieces:
         from gym_futbol_tpu.models.policy import init_params
         from gym_futbol_tpu.ops.fused_collect import flatten_actor_critic
 
-        model = ActorCritic(n_players=P.n_players, hidden=(32, 16))
+        model = ActorCritic(n_players=P.players_per_team, hidden=(32, 16))
         params = init_params(key, model, P)
         w = flatten_actor_critic(params, model)
         f = 4 * P.n_bodies + 2
         assert len(w) == 8  # 2 torso + logits + value, (W, b) each
         assert w[0].shape == (f, 32) and w[1].shape == (32, 1)
         assert w[2].shape == (32, 16) and w[3].shape == (16, 1)
-        assert w[4].shape == (16, P.n_players * 2 * 5)   # logits head
+        assert w[4].shape == (16, P.players_per_team * 2 * 5)  # logits head
         assert w[6].shape == (16, 1) and w[7].shape == (1, 1)  # value head

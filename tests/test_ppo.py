@@ -97,7 +97,7 @@ class TestTraining:
         cfg = PPOConfig(rollout_steps=8, epochs=1, minibatches=4)
         assert (8 * 16) % cfg.shuffle_block == 0
         assert (8 * 16) // cfg.shuffle_block < cfg.minibatches
-        model = ActorCritic(n_players=ENV_P.n_players, hidden=(16,))
+        model = ActorCritic(n_players=ENV_P.players_per_team, hidden=(16,))
         tx = make_optimizer(cfg)
         runner = init_runner(key, model, ENV_P, cfg, n_envs=16, tx=tx)
         runner, metrics = jax.jit(
@@ -108,7 +108,7 @@ class TestTraining:
 
     def test_single_device_iteration(self, key):
         cfg = PPOConfig(rollout_steps=8, epochs=2, minibatches=2)
-        model = ActorCritic(n_players=ENV_P.n_players, hidden=(32,))
+        model = ActorCritic(n_players=ENV_P.players_per_team, hidden=(32,))
         tx = make_optimizer(cfg)
         runner = init_runner(key, model, ENV_P, cfg, n_envs=8, tx=tx)
         f = jax.jit(

@@ -68,7 +68,7 @@ class TestShardedTraining:
     def test_train_iteration_runs_and_keeps_params_replicated(self, mesh, key):
         env_params = EnvParams(players_per_team=1, max_steps=32)
         cfg = PPOConfig(rollout_steps=8, epochs=1, minibatches=2)
-        model = ActorCritic(n_players=env_params.n_players, hidden=(32,))
+        model = ActorCritic(n_players=env_params.players_per_team, hidden=(32,))
         tx = make_optimizer(cfg)
         runner = init_runner(key, model, env_params, cfg, n_envs=16, tx=tx)
         runner = runner.replace(env_state=shard_env_state(runner.env_state, mesh))
@@ -89,7 +89,7 @@ class TestShardedTraining:
         """Loss changes across iterations — the update actually applies."""
         env_params = EnvParams(players_per_team=1, max_steps=32)
         cfg = PPOConfig(rollout_steps=8, epochs=1, minibatches=2, lr=1e-2)
-        model = ActorCritic(n_players=env_params.n_players, hidden=(32,))
+        model = ActorCritic(n_players=env_params.players_per_team, hidden=(32,))
         tx = make_optimizer(cfg)
         runner = init_runner(key, model, env_params, cfg, n_envs=16, tx=tx)
         runner = runner.replace(env_state=shard_env_state(runner.env_state, mesh))

@@ -19,7 +19,7 @@ class TestCheckpoint:
     def test_runner_roundtrip(self, key, tmp_path):
         p = EnvParams(players_per_team=1, max_steps=10)
         cfg = PPOConfig(rollout_steps=4, minibatches=2)
-        model = ActorCritic(n_players=p.n_players, hidden=(16,))
+        model = ActorCritic(n_players=p.players_per_team, hidden=(16,))
         tx = make_optimizer(cfg)
         runner = init_runner(key, model, p, cfg, n_envs=4, tx=tx)
 
