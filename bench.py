@@ -234,9 +234,84 @@ def bench_ppo(args, with_update: bool, fused: bool = False) -> float:
     return args.envs * args.steps / dt
 
 
+def bench_scaling(args) -> dict:
+    """--scaling: WEAK-scaling sweep over device counts (north-star #2:
+    >=90% efficiency 1 chip -> 1 host -> >=2 hosts).
+
+    Runs the full sharded PPO iteration (the only code path with a
+    collective) on meshes of 1, 2, 4, ... devices with a FIXED per-device
+    env count, and reports throughput efficiency vs the 1-device run.
+    The same code measures a real pod slice; on this sandbox's fake
+    8-device CPU mesh (--fake-devices) the numbers are a proxy that
+    exercises every sharding/collective path end-to-end.
+
+    Run on CPU fakes:
+        PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+        XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python bench.py --scaling
+    """
+    import jax
+
+    from gym_futbol_tpu import EnvParams
+    from gym_futbol_tpu.models.policy import ActorCritic
+    from gym_futbol_tpu.parallel import shard_env_state, shard_train_iteration
+    from gym_futbol_tpu.parallel.mesh import make_mesh
+    from gym_futbol_tpu.ppo import PPOConfig, init_runner, make_optimizer
+
+    devices = jax.devices()
+    counts = [d for d in (1, 2, 4, 8, 16, 32, 64) if d <= len(devices)]
+    per_dev = args.envs or 512
+    steps = args.steps or 32
+
+    env_params = EnvParams(players_per_team=args.ppt or 2)
+    cfg = PPOConfig(rollout_steps=steps)
+    model = ActorCritic(n_players=env_params.players_per_team)
+    tx = make_optimizer(cfg)
+
+    rates = {}
+    for d in counts:
+        mesh = make_mesh(devices[:d])
+        n_envs = per_dev * d
+        runner = init_runner(
+            jax.random.PRNGKey(0), model, env_params, cfg, n_envs=n_envs,
+            tx=tx,
+        )
+        runner = runner.replace(
+            env_state=shard_env_state(runner.env_state, mesh)
+        )
+        fn = shard_train_iteration(mesh, model, env_params, cfg, tx)
+        runner, m = fn(runner)          # compile + first run
+        jax.device_get(m["loss"])
+        runner, m = fn(runner)          # re-specialization warmup
+        jax.device_get(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            runner, m = fn(runner)
+        jax.device_get(m["loss"])
+        dt = (time.perf_counter() - t0) / args.iters
+        rates[d] = n_envs * steps / dt
+        eff = rates[d] / (d * rates[1])
+        print(f"# scaling {d:3d} dev x {per_dev} envs: "
+              f"{rates[d]:12.0f} steps/s  efficiency {eff:6.3f}")
+
+    d_max = counts[-1]
+    return {
+        "metric": "weak_scaling_efficiency",
+        "value": round(rates[d_max] / (d_max * rates[1]), 4),
+        "unit": f"fraction of linear at {d_max} devices "
+                f"({per_dev} envs/device)",
+        "vs_baseline": round(rates[d_max] / (d_max * rates[1]) / 0.9, 3),
+        "steps_per_sec": {str(d): round(r) for d, r in rates.items()},
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=3, choices=sorted(CONFIGS))
+    ap.add_argument("--scaling", action="store_true",
+                    help="weak-scaling efficiency sweep over device counts "
+                         "(BASELINE north-star #2); --envs becomes "
+                         "envs-per-device (default 512)")
     ap.add_argument("--envs", type=int, default=None)
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--ppt", type=int, default=None)
@@ -249,14 +324,18 @@ def main() -> None:
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
+    from gym_futbol_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    if args.scaling:
+        print(json.dumps(bench_scaling(args)))
+        return
+
     preset = CONFIGS[args.config]
     args.envs = args.envs or preset["envs"]
     args.steps = args.steps or preset["steps"]
     args.ppt = args.ppt or preset["ppt"]
-
-    from gym_futbol_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
 
     if args.config in (2, 3):
         if args.impl == "jnp":

@@ -41,11 +41,10 @@ import jax.numpy as jnp
 
 from .types import EnvParams, EnvState
 
-# Direction unit vectors, index 0 = noop. +y is "up".
-_DIRS = jnp.asarray(
-    [[0.0, 0.0], [0.0, 1.0], [1.0, 0.0], [0.0, -1.0], [-1.0, 0.0]]
-)
-# Same table as Python constants for branch-free scalar decode.
+# Direction unit vectors as Python constants for branch-free scalar
+# decode, index 0 = noop. +y is "up". (Plain tuples, not jnp arrays: a
+# module-level device array would initialize the XLA backend at import
+# time and break jax.distributed.initialize in multi-process runs.)
 _DIR_X = (0.0, 0.0, 1.0, 0.0, -1.0)
 _DIR_Y = (0.0, 1.0, 0.0, -1.0, 0.0)
 

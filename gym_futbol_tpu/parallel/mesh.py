@@ -20,10 +20,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 ENV_AXIS = "env"
 
 
-def init_distributed(**kw) -> None:
-    """Multi-host runtime bring-up. No-op when single-process (this
-    sandbox: 1 process, 1 chip — SURVEY.md §7.1)."""
-    if jax.process_count() > 1 or kw:
+def init_distributed(force: bool = False, **kw) -> None:
+    """Multi-host runtime bring-up. Call BEFORE any other JAX API.
+
+    With explicit kwargs (coordinator_address/num_processes/process_id),
+    ``force=True`` (auto-detect a TPU-pod/SLURM cluster environment, the
+    ``train.py --distributed`` path), or ``JAX_COORDINATOR_ADDRESS`` set,
+    wraps ``jax.distributed.initialize``. Otherwise it must stay a no-op
+    WITHOUT touching the backend: querying ``jax.process_count()`` here
+    would initialize XLA and make a later real initialize() impossible
+    (covered by tests/test_multiprocess.py).
+    """
+    import os
+
+    if kw or force or os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize(**kw)
 
 

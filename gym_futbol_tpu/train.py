@@ -55,7 +55,7 @@ def main() -> None:
     from .types import EnvParams
 
     if args.distributed:
-        init_distributed()
+        init_distributed(force=True)
 
     env_params = EnvParams(players_per_team=args.ppt, max_steps=args.max_steps)
     if args.algo == "a2c":
