@@ -93,7 +93,7 @@ def shard_fused_rollout(
 
 def shard_train_iteration(
     mesh: Mesh, model, env_params: EnvParams, cfg, tx,
-    iteration_fn=train_iteration,
+    iteration_fn=train_iteration, runner_specs=None,
 ):
     """shard_map'd full training iteration: envs + trajectories
     device-local, model/opt state replicated, grads pmean'd over 'env'.
@@ -101,10 +101,12 @@ def shard_train_iteration(
     ``iteration_fn`` defaults to PPO's; any function with the signature
     ``(runner, model, env_params, cfg, tx, axis_name) -> (runner, metrics)``
     works (e.g. :func:`gym_futbol_tpu.a2c.train_iteration`).
-    Returns f(runner: RunnerState) -> (runner, metrics), jitted.
+    ``runner_specs`` overrides the PartitionSpec pytree for non-default
+    runner structures (e.g. ``a2c.recurrent_runner_specs()`` for the
+    LSTM carry). Returns f(runner) -> (runner, metrics), jitted.
     """
 
-    def local_iter(runner: RunnerState):
+    def local_iter(runner):
         # De-correlate per-shard action sampling / minibatch permutations;
         # params stay in lockstep because grads are pmean'd before applying.
         base_key, next_key = jax.random.split(runner.key)
@@ -118,16 +120,17 @@ def shard_train_iteration(
 
     env_spec = P(ENV_AXIS)
     rep = P()
-    runner_specs = RunnerState(
-        params=rep,
-        opt_state=rep,
-        env_state=EnvState(
-            pos=env_spec, vel=env_spec, possession=env_spec,
-            score=env_spec, t=env_spec, key=env_spec,
-        ),
-        obs=env_spec,
-        key=rep,  # same update RNG on every shard => replicated params stay in lockstep
-    )
+    if runner_specs is None:
+        runner_specs = RunnerState(
+            params=rep,
+            opt_state=rep,
+            env_state=EnvState(
+                pos=env_spec, vel=env_spec, possession=env_spec,
+                score=env_spec, t=env_spec, key=env_spec,
+            ),
+            obs=env_spec,
+            key=rep,  # same update RNG on every shard => replicated params stay in lockstep
+        )
 
     mapped = shard_map(
         local_iter,

@@ -182,11 +182,18 @@ def collect_rollout_fused(
     w = flatten_actor_critic(runner.params, model)
     sf, si = pack_state(runner.env_state, env_params)
     if block is None:
-        # Default to the largest kernel block that fits the (per-shard)
-        # env count — 1024 is the measured sweet spot, but smaller shards
-        # (e.g. 4096 envs over 8 devices) must not trip the kernel's
-        # divisibility assertion.
-        block = min(1024, sf.shape[1] * 128)
+        # Largest kernel block that (a) divides the per-shard env count
+        # and (b) keeps the per-block trajectory tiles inside scoped VMEM:
+        # the kernel holds 6 [T, 2, block//128, 128] f32/i32 buffers
+        # (double-buffered by Mosaic), so T*block is the budget knob —
+        # T=128 x block=1024 measured 16.77M vs the 16M limit (3v3),
+        # while T*block <= 64*1024 fits comfortably.
+        b_shard = sf.shape[1] * 128
+        block = 128
+        for cand in (1024, 512, 256, 128):
+            if b_shard % cand == 0 and cfg.rollout_steps * cand <= 64 * 1024:
+                block = cand
+                break
     key, k_seed, k_state = jax.random.split(runner.key, 3)
     seed = jax.random.randint(k_seed, (1,), 0, 2**31 - 1, dtype=jnp.int32)
     (sf, si, obs, dirs, acts, logp, value, reward, done,

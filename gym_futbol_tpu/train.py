@@ -20,6 +20,10 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", choices=("ppo", "a2c"), default="ppo")
+    ap.add_argument("--recurrent", action="store_true",
+                    help="train the LSTM actor-critic (A2C full-batch "
+                         "BPTT; implies --algo a2c)")
+    ap.add_argument("--lstm-size", type=int, default=128)
     ap.add_argument("--fused-collect", action="store_true",
                     help="collect PPO experience with the Pallas "
                          "fused-collect kernel (TPU only)")
@@ -58,12 +62,19 @@ def main() -> None:
         init_distributed(force=True)
 
     env_params = EnvParams(players_per_team=args.ppt, max_steps=args.max_steps)
+    runner_specs = None
+    if args.recurrent:
+        args.algo = "a2c"
     if args.algo == "a2c":
         from . import a2c
 
         cfg = a2c.A2CConfig(rollout_steps=args.rollout_steps, lr=args.lr)
         tx = a2c.make_optimizer(cfg)
-        iteration_fn = a2c.train_iteration
+        if args.recurrent:
+            iteration_fn = a2c.train_iteration_recurrent
+            runner_specs = a2c.recurrent_runner_specs()
+        else:
+            iteration_fn = a2c.train_iteration
     else:
         cfg = PPOConfig(
             rollout_steps=args.rollout_steps, lr=args.lr, epochs=args.epochs,
@@ -82,9 +93,18 @@ def main() -> None:
             )
     # Per-team policy: self-play training controls both sides with one
     # shared policy through the mirrored view (ppo.collect_rollout).
-    model = ActorCritic(
-        n_players=env_params.players_per_team, hidden=tuple(args.hidden)
-    )
+    if args.recurrent:
+        from . import a2c
+        from .models.recurrent import RecurrentActorCritic
+
+        model = RecurrentActorCritic(
+            n_players=env_params.players_per_team,
+            hidden=tuple(args.hidden), lstm_size=args.lstm_size,
+        )
+    else:
+        model = ActorCritic(
+            n_players=env_params.players_per_team, hidden=tuple(args.hidden)
+        )
     mesh = make_mesh()
     if args.envs % jax.device_count():
         raise SystemExit(
@@ -92,13 +112,20 @@ def main() -> None:
             f"{jax.device_count()} devices"
         )
 
-    runner = init_runner(
-        jax.random.PRNGKey(args.seed), model, env_params, cfg,
-        n_envs=args.envs, tx=tx,
-    )
+    if args.recurrent:
+        runner = a2c.init_recurrent_runner(
+            jax.random.PRNGKey(args.seed), model, env_params, cfg,
+            n_envs=args.envs, tx=tx,
+        )
+    else:
+        runner = init_runner(
+            jax.random.PRNGKey(args.seed), model, env_params, cfg,
+            n_envs=args.envs, tx=tx,
+        )
     runner = runner.replace(env_state=shard_env_state(runner.env_state, mesh))
     step_fn = shard_train_iteration(
-        mesh, model, env_params, cfg, tx, iteration_fn=iteration_fn
+        mesh, model, env_params, cfg, tx, iteration_fn=iteration_fn,
+        runner_specs=runner_specs,
     )
 
     ckpt = None
