@@ -44,9 +44,16 @@ def main() -> None:
                     help="write metrics.jsonl (+ TensorBoard if available)")
     ap.add_argument("--distributed", action="store_true",
                     help="call jax.distributed.initialize() (multi-host)")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="enable jax_debug_nans: fail fast with a "
+                         "traceback at the first NaN-producing op "
+                         "(disables some fusions; debugging only)")
     args = ap.parse_args()
 
     import jax
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from .utils.cache import enable_compilation_cache
 

@@ -99,20 +99,56 @@ class TestReplayEquivalence:
         )
 
 
+def _interpret_prng_available() -> bool:
+    """Explicit capability probe: can Pallas interpret mode lower the TPU
+    core PRNG on this backend? (Currently no on CPU — 'prng_seed' has no
+    CPU MLIR rule — so the random-mode kernels are certified on-chip by
+    parity/run_all.py instead. This probe keeps the skip honest: the day
+    interpret mode gains PRNG support, the tests arm themselves.)"""
+    from functools import partial
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(seed_ref, out_ref):
+        pltpu.prng_seed(seed_ref[0])
+        out_ref[:] = pltpu.bitcast(
+            pltpu.prng_random_bits((8, 128)), jnp.uint32
+        ).astype(jnp.float32)
+
+    try:
+        pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            interpret=True,
+        )(jnp.asarray([7], jnp.int32))
+        return True
+    except Exception:
+        return False
+
+
+_HAS_INTERPRET_PRNG = _interpret_prng_available()
+
+needs_interpret_prng = pytest.mark.skipif(
+    not _HAS_INTERPRET_PRNG,
+    reason="Pallas interpret mode cannot lower the TPU core PRNG on this "
+           "backend (probed); random-mode kernels are certified on-chip "
+           "by parity/run_all.py",
+)
+
+
 class TestRandomMode:
+    @needs_interpret_prng
     def test_random_rollout_interpret(self, setup):
         """Random-policy kernel: auto-reset clock stays in range, rewards
         finite, scores sane. (Distribution-level check; the on-core PRNG
         stream differs from jax.random by design.)"""
         state, _ = setup
         sf, si = pack_state(state, P)
-        try:
-            sf2, si2, rew = fused_rollout(
-                sf, si, jnp.asarray([42], jnp.int32), P, n_steps=T,
-                block=128, interpret=True,
-            )
-        except Exception as e:  # pragma: no cover
-            pytest.skip(f"on-core PRNG unsupported in interpret mode: {e}")
+        sf2, si2, rew = fused_rollout(
+            sf, si, jnp.asarray([42], jnp.int32), P, n_steps=T,
+            block=128, interpret=True,
+        )
         rew = np.asarray(rew)
         assert np.isfinite(rew).all()
         si2 = np.asarray(si2.reshape(4, B))
@@ -162,3 +198,77 @@ class TestShardedFused:
             np.testing.assert_allclose(
                 np.asarray(g), np.asarray(r), rtol=1e-6, atol=1e-6
             )
+
+
+class TestFusedCollectHostPlumbing:
+    def test_wrapper_reshapes_kernel_layout(self, key, monkeypatch):
+        """CPU coverage of collect_rollout_fused's host-side plumbing
+        (VERDICT r1 item 9): with the kernel stubbed to emit marker
+        values in its [T, 2, ...] tile layout, the wrapper must place
+        every view/feature/env where the self-play update expects it.
+        The real kernel's values are certified on-chip by
+        parity/check_fused_collect.py."""
+        from gym_futbol_tpu.models.policy import ActorCritic
+        from gym_futbol_tpu.ops import fused_collect as fc_mod
+        from gym_futbol_tpu.ppo import (
+            PPOConfig, collect_rollout_fused, init_runner, make_optimizer,
+        )
+
+        params = EnvParams(players_per_team=2, substeps=2,
+                           solver_iterations=3, max_steps=6)
+        cfg = PPOConfig(rollout_steps=3)
+        model = ActorCritic(n_players=params.players_per_team, hidden=(8,))
+        tx = make_optimizer(cfg)
+        b = 128
+        runner = init_runner(key, model, params, cfg, n_envs=b, tx=tx)
+
+        n = params.n_bodies
+        f = 4 * n + 2
+        t = cfg.rollout_steps
+        nb = b // 128
+
+        def fake_kernel(sf, si, w, seed, env_params, n_steps, block=None,
+                        interpret=False):
+            assert n_steps == t
+            views = jnp.arange(2, dtype=jnp.float32)
+            feats = jnp.arange(f, dtype=jnp.float32)
+            obs = (100.0 * views[None, :, None, None, None]
+                   + feats[None, None, :, None, None]
+                   ) * jnp.ones((t, 2, f, nb, 128), jnp.float32)
+            pv = views[None, :, None, None] * jnp.ones(
+                (t, 2, nb, 128), jnp.float32
+            )
+            iv = pv.astype(jnp.int32)
+            last_v = views[:, None, None] * jnp.ones(
+                (2, nb, 128), jnp.float32
+            )
+            return (sf, si, obs, 3 + iv, 4 + iv, pv + 0.5, pv + 0.25,
+                    1.0 + pv, jnp.zeros((t, 2, nb, 128), jnp.int32),
+                    last_v)
+
+        monkeypatch.setattr(fc_mod, "fused_collect", fake_kernel)
+        runner2, traj, last_v = collect_rollout_fused(
+            runner, model, params, cfg
+        )
+        assert traj.obs.shape == (t, 2 * b, f)
+        # view 0 rows [:b] carry +0, view 1 rows [b:] carry +100, and the
+        # feature axis is the minor one
+        np.testing.assert_allclose(np.asarray(traj.obs[0, 0]),
+                                   np.arange(f, dtype=np.float32))
+        np.testing.assert_allclose(np.asarray(traj.obs[1, b]),
+                                   100.0 + np.arange(f, dtype=np.float32))
+        # per-view scalars land in their halves
+        np.testing.assert_allclose(np.asarray(traj.reward[:, :b]), 1.0)
+        np.testing.assert_allclose(np.asarray(traj.reward[:, b:]), 2.0)
+        np.testing.assert_allclose(np.asarray(traj.logp[:, :b]), 0.5)
+        np.testing.assert_allclose(np.asarray(traj.logp[:, b:]), 1.5)
+        np.testing.assert_allclose(np.asarray(traj.value[:, b:]), 1.25)
+        assert np.asarray(traj.dirs[:, :b] == 3).all()
+        assert np.asarray(traj.dirs[:, b:] == 4).all()
+        assert np.asarray(traj.acts[:, b:] == 5).all()
+        np.testing.assert_allclose(np.asarray(last_v[:b]), 0.0)
+        np.testing.assert_allclose(np.asarray(last_v[b:]), 1.0)
+        # runner advanced: obs rebuilt from the carried state, key moved
+        assert runner2.obs.shape == (b, f)
+        assert not np.array_equal(np.asarray(runner2.key),
+                                  np.asarray(runner.key))
