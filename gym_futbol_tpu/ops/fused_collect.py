@@ -19,10 +19,15 @@ perspectives; view 0 = team 0, view 1 = team 1 in its mirrored frame):
     done   [T, 2, B//128, 128] i32
     last_value [2, B//128, 128] f32    (bootstrap for GAE, both views)
 
-The per-step observation block (~200-400 KB) is written to the HBM
-output with ``pltpu.make_async_copy`` from a VMEM scratch — the
-[T, 2, F, B] buffer would not fit in VMEM, and everything else stays
-resident.
+EVERY per-step trajectory row — the observation block (~200-400 KB) and
+the six small [2, block] rows (logp/value/reward f32, dirs/acts/done
+i32) — is written to its HBM output with ``pltpu.make_async_copy`` from
+a VMEM scratch; only the env state and the weights stay VMEM-resident.
+Keeping the [T, ...] buffers out of VMEM is what lets ``block`` stay at
+the Mosaic-required >= 1024 (sublane multiple of 8) for ANY rollout
+length T: the earlier design held the whole [T, 2, sub, 128] trajectory
+in VMEM, which at T=128 forced block=512 and failed Mosaic's tiling
+check — silently dropping configs 4-5 onto the slow jnp collect path.
 
 RNG: the on-core PRNG (sampling stream differs from jax.random by
 design; the PPO update recomputes log-probs from the SAME obs/actions
@@ -106,9 +111,10 @@ def _collect_kernel(params: EnvParams, n_steps: int, sub: int,
     def kernel(seed_ref, *refs):
         w = [refs[i] for i in range(2 * n_dense)]
         sf_ref, si_ref = refs[2 * n_dense], refs[2 * n_dense + 1]
-        (out_sf, out_si, obs_hbm, dirs_ref, acts_ref, logp_ref, val_ref,
-         rew_ref, done_ref, lastv_ref) = refs[2 * n_dense + 2:2 * n_dense + 12]
-        obs_scratch, dma_sem = refs[2 * n_dense + 12], refs[2 * n_dense + 13]
+        (out_sf, out_si, obs_hbm, miscf_hbm, misci_hbm,
+         lastv_ref) = refs[2 * n_dense + 2:2 * n_dense + 8]
+        (obs_scratch, miscf_scratch, misci_scratch, obs_sem, miscf_sem,
+         misci_sem) = refs[2 * n_dense + 8:2 * n_dense + 14]
 
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 0x27D4EB2F)
         torso = [w[i][:] for i in range(2 * (n_dense - 2))]
@@ -146,7 +152,7 @@ def _collect_kernel(params: EnvParams, n_steps: int, sub: int,
             dma = pltpu.make_async_copy(
                 obs_scratch,
                 obs_hbm.at[step_i, :, :, pl.ds(blk * sub, sub), :],
-                dma_sem,
+                obs_sem,
             )
             dma.start()
 
@@ -179,19 +185,36 @@ def _collect_kernel(params: EnvParams, n_steps: int, sub: int,
                 dirs, acts, theta, noise_x, noise_y, params,
             )
             done_i = done.astype(jnp.int32)
-            dirs_ref[step_i, 0] = dpack_a
-            dirs_ref[step_i, 1] = dpack_b
-            acts_ref[step_i, 0] = apack_a
-            acts_ref[step_i, 1] = apack_b
-            logp_ref[step_i, 0] = logp_a.reshape(sub, _LANE)
-            logp_ref[step_i, 1] = logp_b.reshape(sub, _LANE)
-            val_ref[step_i, 0] = va.reshape(sub, _LANE)
-            val_ref[step_i, 1] = vb.reshape(sub, _LANE)
-            rew_ref[step_i, 0] = r0
-            rew_ref[step_i, 1] = r1
-            done_ref[step_i, 0] = done_i
-            done_ref[step_i, 1] = done_i
-            dma.wait()  # scratch reused next iteration
+            # stream the six small rows to HBM (scratch layout:
+            # [view, field, sub, 128]; f32 fields logp|value|reward,
+            # i32 fields dirs|acts|done)
+            miscf_scratch[0, 0] = logp_a.reshape(sub, _LANE)
+            miscf_scratch[1, 0] = logp_b.reshape(sub, _LANE)
+            miscf_scratch[0, 1] = va.reshape(sub, _LANE)
+            miscf_scratch[1, 1] = vb.reshape(sub, _LANE)
+            miscf_scratch[0, 2] = r0
+            miscf_scratch[1, 2] = r1
+            misci_scratch[0, 0] = dpack_a
+            misci_scratch[1, 0] = dpack_b
+            misci_scratch[0, 1] = apack_a
+            misci_scratch[1, 1] = apack_b
+            misci_scratch[0, 2] = done_i
+            misci_scratch[1, 2] = done_i
+            dma_f = pltpu.make_async_copy(
+                miscf_scratch,
+                miscf_hbm.at[step_i, :, :, pl.ds(blk * sub, sub), :],
+                miscf_sem,
+            )
+            dma_f.start()
+            dma_i = pltpu.make_async_copy(
+                misci_scratch,
+                misci_hbm.at[step_i, :, :, pl.ds(blk * sub, sub), :],
+                misci_sem,
+            )
+            dma_i.start()
+            dma.wait()  # scratches reused next iteration
+            dma_f.wait()
+            dma_i.wait()
             return (tuple(px), tuple(py), tuple(vx), tuple(vy),
                     poss, s0, s1, t)
 
@@ -257,12 +280,6 @@ def fused_collect(
         (rows, sub, _LANE), lambda i, seed: (0, i, 0),
         memory_space=pltpu.VMEM,
     )
-    # trajectory tiles carry a perspective axis (view 0 = team 0's,
-    # view 1 = team 1's mirrored view; module docstring)
-    tile4 = lambda rows: pl.BlockSpec(
-        (rows, 2, sub, _LANE), lambda i, seed: (0, 0, i, 0),
-        memory_space=pltpu.VMEM,
-    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
@@ -275,16 +292,16 @@ def fused_collect(
             tile3(4 * n),                              # statef'
             tile3(4),                                  # statei'
             pl.BlockSpec(memory_space=pltpu.ANY),      # obs (HBM, manual DMA)
-            tile4(n_steps),                            # dirs
-            tile4(n_steps),                            # acts
-            tile4(n_steps),                            # logp
-            tile4(n_steps),                            # value
-            tile4(n_steps),                            # reward
-            tile4(n_steps),                            # done
+            pl.BlockSpec(memory_space=pltpu.ANY),      # logp|value|reward
+            pl.BlockSpec(memory_space=pltpu.ANY),      # dirs|acts|done
             tile3(2),                                  # last_value (2 views)
         ],
         scratch_shapes=[
             pltpu.VMEM((2, f_dim, sub, _LANE), jnp.float32),
+            pltpu.VMEM((2, 3, sub, _LANE), jnp.float32),
+            pltpu.VMEM((2, 3, sub, _LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -292,12 +309,8 @@ def fused_collect(
         jax.ShapeDtypeStruct((4 * n, nb, _LANE), jnp.float32),
         jax.ShapeDtypeStruct((4, nb, _LANE), jnp.int32),
         jax.ShapeDtypeStruct((n_steps, 2, f_dim, nb, _LANE), jnp.float32),
-        jax.ShapeDtypeStruct((n_steps, 2, nb, _LANE), jnp.int32),
-        jax.ShapeDtypeStruct((n_steps, 2, nb, _LANE), jnp.int32),
-        jax.ShapeDtypeStruct((n_steps, 2, nb, _LANE), jnp.float32),
-        jax.ShapeDtypeStruct((n_steps, 2, nb, _LANE), jnp.float32),
-        jax.ShapeDtypeStruct((n_steps, 2, nb, _LANE), jnp.float32),
-        jax.ShapeDtypeStruct((n_steps, 2, nb, _LANE), jnp.int32),
+        jax.ShapeDtypeStruct((n_steps, 2, 3, nb, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, 2, 3, nb, _LANE), jnp.int32),
         jax.ShapeDtypeStruct((2, nb, _LANE), jnp.float32),
     ]
     fn = pl.pallas_call(
@@ -306,6 +319,10 @@ def fused_collect(
         out_shape=out_shape,
         interpret=interpret,
     )
-    return tuple(fn(
+    sf2, si2, obs, miscf, misci, last_v = fn(
         jnp.asarray(seed, jnp.int32).reshape(1), *weights, statef, statei
-    ))
+    )
+    # unpack the streamed misc rows back into the documented signature
+    logp, value, reward = miscf[:, :, 0], miscf[:, :, 1], miscf[:, :, 2]
+    dirs, acts, done = misci[:, :, 0], misci[:, :, 1], misci[:, :, 2]
+    return sf2, si2, obs, dirs, acts, logp, value, reward, done, last_v

@@ -182,16 +182,15 @@ def collect_rollout_fused(
     w = flatten_actor_critic(runner.params, model)
     sf, si = pack_state(runner.env_state, env_params)
     if block is None:
-        # Largest kernel block that (a) divides the per-shard env count
-        # and (b) keeps the per-block trajectory tiles inside scoped VMEM:
-        # the kernel holds 6 [T, 2, block//128, 128] f32/i32 buffers
-        # (double-buffered by Mosaic), so T*block is the budget knob —
-        # T=128 x block=1024 measured 16.77M vs the 16M limit (3v3),
-        # while T*block <= 64*1024 fits comfortably.
+        # The kernel streams all per-step trajectory rows to HBM, so VMEM
+        # holds only state + weights + step scratches and the block size
+        # is independent of T. Mosaic needs the sublane dim (block//128)
+        # to be a multiple of 8 — i.e. block a multiple of 1024 — or the
+        # whole per-shard array; pick the largest dividing candidate.
         b_shard = sf.shape[1] * 128
-        block = 128
-        for cand in (1024, 512, 256, 128):
-            if b_shard % cand == 0 and cfg.rollout_steps * cand <= 64 * 1024:
+        block = b_shard
+        for cand in (2048, 1024):
+            if b_shard % cand == 0:
                 block = cand
                 break
     key, k_seed, k_state = jax.random.split(runner.key, 3)

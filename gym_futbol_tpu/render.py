@@ -19,7 +19,13 @@ def render_state(state: EnvState, params: EnvParams, mode: str = "rgb_array"):
 
     mode="rgb_array" -> HxWx3 uint8 numpy array (matplotlib if installed).
     mode="ansi"      -> ASCII art string.
+    mode="human"     -> prints the ASCII frame to stdout, returns None
+                        (gym convention; headless-safe stand-in for the
+                        reference's on-screen draw, SURVEY.md §3.4).
     """
+    if mode == "human":
+        print(_ascii(state, params))
+        return None
     if mode == "ansi":
         return _ascii(state, params)
     try:
