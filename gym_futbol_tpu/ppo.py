@@ -33,7 +33,6 @@ from flax import struct
 from . import env as env_core
 from .models.policy import (
     ActorCritic,
-    action_log_prob_and_entropy_packed,
     pack_actions,
     sample_actions,
 )
@@ -48,6 +47,9 @@ class PPOConfig:
     gae_lambda: float = 0.95
     clip_eps: float = 0.2
     lr: float = 3e-4
+    # Final LR for the linear anneal; only active when make_optimizer is
+    # given total_iters (else constant cfg.lr).
+    lr_final: float = 0.0
     epochs: int = 4
     minibatches: int = 4
     vf_coef: float = 0.5
@@ -56,11 +58,19 @@ class PPOConfig:
     # Minibatch shuffling granularity. Row-level random gathers are
     # pathological on TPU (measured 580 ms per minibatch step at 4.2M
     # transitions — 90% of the whole PPO iteration); shuffling contiguous
-    # blocks instead gathers ~20 KB rows, which the HBM likes. A block of
-    # consecutive flat indices is one timestep of `shuffle_block`
-    # *independent* envs, so minibatch statistics are unaffected. Set to 1
-    # to recover exact row-level shuffling.
-    shuffle_block: int = 128
+    # blocks instead gathers whole chunks, which the HBM likes. A block of
+    # consecutive flat indices is `shuffle_block` *independent* envs from
+    # one (view, timestep), so minibatch statistics are unaffected. In the
+    # feature-major buffer a block's obs is F strided runs of
+    # 4*shuffle_block bytes — 1024 keeps every gathered run at 4 KB. Set
+    # to 1 to recover exact row-level shuffling.
+    shuffle_block: int = 1024
+    # Rematerialize the policy forward inside the update's backward pass
+    # (jax.checkpoint around the per-sample loss core). The update is
+    # HBM-bound on stored [mb, hidden] activations (measured r2: 660 ms of
+    # a 915 ms iteration at config 5); recomputing them costs ~1/3 more
+    # MXU flops and removes almost all activation traffic.
+    remat: bool = True
 
 
 @struct.dataclass
@@ -69,9 +79,17 @@ class Transition:
     player, one int32 word per action slot) so every leaf of the stacked
     [T, B, ...] trajectory is at most rank-3 with a wide minor dim — a
     [T, B, n_players, 2] int32 buffer puts (n_players, 2) on the tiled
-    minor dims and pads ~100x (see models/policy.py docstring)."""
+    minor dims and pads ~100x (see models/policy.py docstring).
 
-    obs: jax.Array        # [B, obs_dim]
+    STACKED-TRAJECTORY OBS LAYOUTS (update_epochs accepts both, keyed on
+    rank): rank-3 ``[T, B, obs_dim]`` row-major (the jnp collect path,
+    also consumed whole-batch by a2c), or rank-2 ``[obs_dim, T*B]``
+    FEATURE-MAJOR with samples ordered (view, step, env) — the fused
+    Pallas collect emits this directly (ops/fused_collect.py docstring),
+    and it is the layout the update's MXU matmuls want (samples on the
+    lane axis), so the multi-GB buffer is never transposed."""
+
+    obs: jax.Array        # [B, obs_dim] per step; stacked: see above
     dirs: jax.Array       # [B] int32, packed per-player direction indices
     acts: jax.Array       # [B] int32, packed per-player act indices
     logp: jax.Array       # [B]
@@ -85,14 +103,32 @@ class RunnerState:
     params: Any
     opt_state: Any
     env_state: EnvState   # batched
-    obs: jax.Array        # [B, obs_dim]
+    obs: jax.Array        # [B, obs_dim] RAW (un-normalized) observation
     key: jax.Array
+    # VecNormalize-equivalent running stats (wrappers.py), carried across
+    # iterations when training with --normalize-obs / --normalize-reward
+    # (make_normalized_collect). None = off (and an empty pytree node, so
+    # specs/checkpoints of un-normalized runners are unchanged).
+    obs_norm: Any = None   # wrappers.RunningNorm | None
+    rew_norm: Any = None   # wrappers.RewardNorm | None
 
 
-def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
+def make_optimizer(
+    cfg: PPOConfig, total_iters: int | None = None
+) -> optax.GradientTransformation:
+    """Adam with global-norm clipping. When ``total_iters`` is given the
+    learning rate anneals linearly from cfg.lr to cfg.lr_final over the
+    run's total number of minibatch updates (the usual PPO schedule;
+    measurably steadies late training in parity/check_learning.py)."""
+    lr = cfg.lr
+    if total_iters:
+        lr = optax.linear_schedule(
+            cfg.lr, cfg.lr_final,
+            total_iters * cfg.epochs * cfg.minibatches,
+        )
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adam(cfg.lr),
+        optax.adam(lr),
     )
 
 
@@ -156,6 +192,87 @@ def collect_rollout(
     return runner, traj, last_value
 
 
+def make_normalized_collect(
+    normalize_obs: bool = True, normalize_reward: bool = True,
+    axis_name: str | None = None,
+):
+    """Collect-fn factory with VecNormalize semantics (SURVEY.md §2.1 #12
+    ecosystem; VERDICT r2 item 4): observation z-scoring and/or
+    reward-by-return-std scaling THROUGH WHICH the policy actually trains.
+
+    Statistics live in ``runner.obs_norm`` / ``runner.rew_norm``
+    (wrappers.RunningNorm/RewardNorm) and are updated inside the rollout
+    scan; with ``axis_name`` set (the sharded path) the batch statistics
+    are pmean'd so every shard applies ONE global normalizer. Mirroring
+    happens on the RAW observation (mirror_obs's x -> 1-x algebra assumes
+    field-normalized coordinates, not z-scores); both self-play views are
+    then normalized with the same stats — they are identically
+    distributed by symmetry. The trajectory stores NORMALIZED obs (what
+    the policy saw) and scaled rewards, so the update needs no changes.
+    Returns a drop-in for :func:`collect_rollout` (jnp path).
+    """
+
+    def collect(
+        runner: RunnerState, model: ActorCritic, env_params: EnvParams,
+        cfg: PPOConfig,
+    ) -> tuple[RunnerState, Transition, jax.Array]:
+        assert (not normalize_obs) or runner.obs_norm is not None, (
+            "init_runner(..., normalize_obs=True) required"
+        )
+        assert (not normalize_reward) or runner.rew_norm is not None, (
+            "init_runner(..., normalize_reward=True) required"
+        )
+        b = runner.obs.shape[0]
+
+        def norm_obs2(onorm, obs_raw, update: bool):
+            obs2_raw = _both_views(obs_raw, env_params)
+            if not normalize_obs:
+                return onorm, obs2_raw
+            if update:
+                onorm = onorm.update(obs2_raw, axis_name=axis_name)
+            return onorm, onorm.normalize(obs2_raw)
+
+        def body(carry, _):
+            env_state, obs, onorm, rnorm, key = carry
+            key, k_act = jax.random.split(key)
+            onorm, obs2 = norm_obs2(onorm, obs, update=True)
+            logits, value = model.apply(runner.params, obs2)
+            action2, logp = sample_actions(k_act, logits)
+            joint = jnp.concatenate(
+                [action2[:b], env_core.mirror_actions(action2[b:])], axis=1
+            )
+            env_state, out = step_batch(env_state, joint, env_params)
+            r0, r1 = out.team_reward[:, 0], out.team_reward[:, 1]
+            if normalize_reward:
+                rnorm = rnorm.update(r0, out.done, cfg.gamma,
+                                     axis_name=axis_name)
+                r0, r1 = rnorm.normalize(r0), rnorm.normalize(r1)
+            dirs, acts = pack_actions(action2)
+            tr = Transition(
+                obs=obs2, dirs=dirs, acts=acts, logp=logp, value=value,
+                reward=jnp.concatenate([r0, r1], axis=0),
+                done=jnp.concatenate([out.done, out.done], axis=0),
+            )
+            return (env_state, out.obs, onorm, rnorm, key), tr
+
+        (env_state, obs, onorm, rnorm, key), traj = jax.lax.scan(
+            body,
+            (runner.env_state, runner.obs, runner.obs_norm,
+             runner.rew_norm, runner.key),
+            None, length=cfg.rollout_steps,
+        )
+        # bootstrap value on FROZEN (post-rollout) stats, no update
+        _, obs2 = norm_obs2(onorm, obs, update=False)
+        _, last_value = model.apply(runner.params, obs2)
+        runner = runner.replace(
+            env_state=env_state, obs=obs, key=key, obs_norm=onorm,
+            rew_norm=rnorm,
+        )
+        return runner, traj, last_value
+
+    return collect
+
+
 def collect_rollout_fused(
     runner: RunnerState, model: ActorCritic, env_params: EnvParams,
     cfg: PPOConfig, block: int | None = None,
@@ -202,8 +319,14 @@ def collect_rollout_fused(
     t, b = cfg.rollout_steps, sf.shape[1] * 128
     f = env_core.obs_size(env_params)
     traj = Transition(
-        # [T, 2, F, nb, 128] -> [T, 2, B, F] -> [T, 2B, F]
-        obs=jnp.swapaxes(obs.reshape(t, 2, f, b), 2, 3).reshape(t, 2 * b, f),
+        # [2, F, T, nb, 128] -> [F, 2, T*B] -> [F, N]: feature-major with
+        # samples ordered (view, step, env) — matches _flatten_tm's order,
+        # and moves only two contiguous [F, T*B] chunks (the round-2
+        # layout paid a 4-byte-element swapaxes over the whole buffer
+        # here; VERDICT r2 item 1a)
+        obs=jnp.moveaxis(obs.reshape(2, f, t * b), 0, 1).reshape(
+            f, 2 * t * b
+        ),
         dirs=dirs.reshape(t, 2 * b),
         acts=acts.reshape(t, 2 * b),
         logp=logp.reshape(t, 2 * b),
@@ -221,40 +344,122 @@ def compute_gae(
     traj: Transition, last_value: jax.Array, cfg: PPOConfig
 ) -> tuple[jax.Array, jax.Array]:
     """Generalized advantage estimation (reverse scan). Returns
-    (advantages [T,B], returns [T,B])."""
+    (advantages [T,B], returns [T,B]). Scans only the [T, B] fields it
+    needs — traj.obs may be the feature-major [F, N] matrix (fused
+    collect path) whose leading axis differs from T."""
     gamma = cfg.gamma
     lam = cfg.gae_lambda
 
-    def body(carry, tr):
+    def body(carry, vrd):
+        value, reward, done = vrd
         gae, next_value = carry
-        nonterminal = 1.0 - tr.done.astype(tr.value.dtype)
-        delta = tr.reward + gamma * next_value * nonterminal - tr.value
+        nonterminal = 1.0 - done.astype(value.dtype)
+        delta = reward + gamma * next_value * nonterminal - value
         gae = delta + gamma * lam * nonterminal * gae
-        return (gae, tr.value), gae
+        return (gae, value), gae
 
     (_, _), adv = jax.lax.scan(
-        body, (jnp.zeros_like(last_value), last_value), traj, reverse=True
+        body, (jnp.zeros_like(last_value), last_value),
+        (traj.value, traj.reward, traj.done), reverse=True,
     )
     return adv, adv + traj.value
 
 
-def ppo_loss(
-    params, model: ActorCritic, batch: Transition, adv: jax.Array,
-    returns: jax.Array, cfg: PPOConfig,
-) -> tuple[jax.Array, dict[str, jax.Array]]:
-    logits, value = model.apply(params, batch.obs)
-    logp, entropy = action_log_prob_and_entropy_packed(
-        logits, batch.dirs, batch.acts
+def _forward_fm(params, model: ActorCritic, obs_fm: jax.Array):
+    """ActorCritic forward on a FEATURE-MAJOR [F, S] obs matrix.
+
+    Same weights/math as ``model.apply`` (certified by
+    tests/test_ppo.py::test_feature_major_forward_matches_apply), but
+    every Dense is a ``dot_general`` contracting the feature axis with
+    samples staying on the minor (lane) axis — the MXU-friendly
+    orientation; the row-major apply on [S, F] puts the 46-feature axis
+    on lanes and forces XLA to relayout. Returns (logit rows [G*5, S],
+    value [S])."""
+    dense = params["params"]
+    x = obs_fm.astype(model.dtype)
+    n_hidden = len(model.hidden)
+    contract = (((0,), (0,)), ((), ()))
+    for i in range(n_hidden):
+        layer = dense[f"Dense_{i}"]
+        x = jnp.tanh(
+            jax.lax.dot_general(layer["kernel"], x, contract)
+            + layer["bias"][:, None]
+        )
+    head_l = dense[f"Dense_{n_hidden}"]
+    head_v = dense[f"Dense_{n_hidden + 1}"]
+    logits = (
+        jax.lax.dot_general(head_l["kernel"], x, contract)
+        + head_l["bias"][:, None]
     )
-    ratio = jnp.exp(logp - batch.logp)
+    value = (
+        jax.lax.dot_general(head_v["kernel"], x, contract)
+        + head_v["bias"][:, None]
+    )[0]
+    return logits, value
+
+
+def _logp_entropy_rows(
+    logit_rows: jax.Array, dirs_packed: jax.Array, acts_packed: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Row-form joint log-prob + entropy from [G*5, S] logit rows (the
+    feature-major twin of models.policy.action_log_prob_and_entropy_packed
+    — same math, but the logits are already rows so there is no
+    moveaxis)."""
+    from .models.policy import N_CHOICES, _log_softmax_rows
+
+    g5 = logit_rows.shape[0]
+    assert g5 % N_CHOICES == 0
+    logp_total, ent_total = None, None
+    for g in range(g5 // N_CHOICES):
+        rows = [logit_rows[g * N_CHOICES + i] for i in range(N_CHOICES)]
+        p, slot = g // 2, g % 2
+        packed = dirs_packed if slot == 0 else acts_packed
+        a = (packed >> (3 * p)) & 7
+        logp, exps, z = _log_softmax_rows(rows)
+        taken = logp[0]
+        ent = -exps[0] * logp[0]
+        for i in range(1, N_CHOICES):
+            taken = jnp.where(a == i, logp[i], taken)
+            ent = ent - exps[i] * logp[i]
+        ent = ent / z
+        logp_total = taken if logp_total is None else logp_total + taken
+        ent_total = ent if ent_total is None else ent_total + ent
+    return logp_total, ent_total
+
+
+def _loss_core(params, model: ActorCritic, obs_fm, dirs, acts):
+    """The per-sample recomputable core of the PPO loss: forward + taken
+    log-prob + entropy + value. Wrapped in jax.checkpoint when
+    ``cfg.remat`` so its [hidden, S] activations are recomputed in the
+    backward pass instead of round-tripping through HBM."""
+    logit_rows, value = _forward_fm(params, model, obs_fm)
+    logp, entropy = _logp_entropy_rows(logit_rows, dirs, acts)
+    return logp, entropy, value
+
+
+def ppo_loss(
+    params, model: ActorCritic, obs_fm: jax.Array, dirs: jax.Array,
+    acts: jax.Array, logp_old: jax.Array, value_old: jax.Array,
+    adv: jax.Array, returns: jax.Array, cfg: PPOConfig,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Clipped-surrogate PPO loss over one FEATURE-MAJOR minibatch:
+    ``obs_fm`` is [F, S]; every other array is [S]."""
+    if cfg.remat:
+        core = jax.checkpoint(
+            lambda p, o, d, a: _loss_core(p, model, o, d, a)
+        )
+        logp, entropy, value = core(params, obs_fm, dirs, acts)
+    else:
+        logp, entropy, value = _loss_core(params, model, obs_fm, dirs, acts)
+    ratio = jnp.exp(logp - logp_old)
 
     norm_adv = (adv - adv.mean()) / (adv.std() + 1e-8)
     pg1 = ratio * norm_adv
     pg2 = jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps) * norm_adv
     pg_loss = -jnp.minimum(pg1, pg2).mean()
 
-    v_clipped = batch.value + jnp.clip(
-        value - batch.value, -cfg.clip_eps, cfg.clip_eps
+    v_clipped = value_old + jnp.clip(
+        value - value_old, -cfg.clip_eps, cfg.clip_eps
     )
     v_loss = 0.5 * jnp.maximum(
         (value - returns) ** 2, (v_clipped - returns) ** 2
@@ -272,6 +477,23 @@ def ppo_loss(
     return total, metrics
 
 
+def _flatten_tm(x: jax.Array) -> jax.Array:
+    """[T, 2B] time-major self-play field -> [N] flat samples ordered
+    (view, step, env) — the fused collect's feature-major obs column
+    order (ops/fused_collect.py docstring). Moves contiguous [B] rows."""
+    t, b2 = x.shape
+    return jnp.moveaxis(x.reshape(t, 2, b2 // 2), 1, 0).reshape(t * b2)
+
+
+def _obs_to_fm(obs3: jax.Array) -> jax.Array:
+    """Row-major stacked obs [T, 2B, F] (jnp collect path) -> the
+    feature-major [F, N] matrix in _flatten_tm's sample order."""
+    t, b2, f = obs3.shape
+    return jnp.transpose(
+        obs3.reshape(t, 2, b2 // 2, f), (3, 1, 0, 2)
+    ).reshape(f, t * b2)
+
+
 def update_epochs(
     params, opt_state, traj: Transition, adv, returns,
     key: jax.Array, model: ActorCritic, tx, cfg: PPOConfig,
@@ -279,15 +501,30 @@ def update_epochs(
 ):
     """cfg.epochs x cfg.minibatches SGD steps over the flattened buffer.
 
+    The buffer is consumed FEATURE-MAJOR: ``traj.obs`` is kept (or
+    converted once, if the collect path produced row-major rank-3 obs) as
+    an [F, N] matrix so the minibatch forward/backward matmuls contract
+    the feature axis with samples on the lane axis, and the fused
+    collect's multi-GB buffer never gets transposed (VERDICT r2 item 1).
+
     When ``axis_name`` is set (shard_map path), gradients and metrics are
     pmean'd across that mesh axis — the one collective on the training
     path (SURVEY.md §2.3).
     """
-    t, b = traj.reward.shape
-    n = t * b
+    t, b2 = traj.reward.shape
+    n = t * b2
+    obs_fm = traj.obs if traj.obs.ndim == 2 else _obs_to_fm(traj.obs)
+    assert obs_fm.shape[1] == n, (
+        f"feature-major obs has {obs_fm.shape[1]} samples, buffer has {n}"
+    )
+    flat_fields = {
+        "dirs": traj.dirs, "acts": traj.acts, "logp": traj.logp,
+        "value": traj.value, "adv": adv, "ret": returns,
+    }
+    flat_fields = {k: _flatten_tm(v) for k, v in flat_fields.items()}
     # Block-granular shuffle (see PPOConfig.shuffle_block): reshape the
-    # flat buffer to [n_blocks, block, ...] so the per-epoch permutation
-    # gathers whole contiguous blocks instead of single rows.
+    # flat sample axis to [n_blocks, block] so the per-epoch permutation
+    # gathers whole contiguous chunks instead of single samples.
     # Fall back to row-level shuffling when the buffer is too small for
     # block granularity: with n // block < minibatches the per-minibatch
     # block count would round to zero and every minibatch would be empty
@@ -299,11 +536,9 @@ def update_epochs(
         else 1
     )
     n_blocks = n // block
-    flat = jax.tree.map(
-        lambda x: x.reshape((n_blocks, block) + x.shape[2:]), traj
-    )
-    flat_adv = adv.reshape(n_blocks, block)
-    flat_ret = returns.reshape(n_blocks, block)
+    f_dim = obs_fm.shape[0]
+    obs_blk = obs_fm.reshape(f_dim, n_blocks, block)
+    flat = {k: v.reshape(n_blocks, block) for k, v in flat_fields.items()}
     mb_blocks = n_blocks // cfg.minibatches
     mb_size = mb_blocks * block
 
@@ -313,12 +548,12 @@ def update_epochs(
 
         def minibatch(carry, idx):
             params, opt_state = carry
-            take = lambda x: jnp.take(x, idx, axis=0).reshape(
-                (mb_size,) + x.shape[2:]
-            )
-            mb = jax.tree.map(take, flat)
+            take = lambda x: jnp.take(x, idx, axis=0).reshape(mb_size)
+            f = {k: take(v) for k, v in flat.items()}
+            mb_obs = jnp.take(obs_blk, idx, axis=1).reshape(f_dim, mb_size)
             grads, metrics = jax.grad(ppo_loss, has_aux=True)(
-                params, model, mb, take(flat_adv), take(flat_ret), cfg
+                params, model, mb_obs, f["dirs"], f["acts"], f["logp"],
+                f["value"], f["adv"], f["ret"], cfg
             )
             if axis_name is not None:
                 grads = jax.lax.pmean(grads, axis_name)
@@ -376,6 +611,7 @@ def train_iteration(
 def init_runner(
     key: jax.Array, model: ActorCritic, env_params: EnvParams,
     cfg: PPOConfig, n_envs: int, tx,
+    normalize_obs: bool = False, normalize_reward: bool = False,
 ) -> RunnerState:
     from .vector import reset_batch
 
@@ -384,7 +620,16 @@ def init_runner(
     params = model.init(k_params, dummy)
     opt_state = tx.init(params)
     env_state, obs = reset_batch(k_env, env_params, n_envs)
+    obs_norm = rew_norm = None
+    if normalize_obs:
+        from .wrappers import RunningNorm
+
+        obs_norm = RunningNorm.init(env_core.obs_size(env_params))
+    if normalize_reward:
+        from .wrappers import RewardNorm
+
+        rew_norm = RewardNorm.init(n_envs)
     return RunnerState(
         params=params, opt_state=opt_state, env_state=env_state, obs=obs,
-        key=k_run,
+        key=k_run, obs_norm=obs_norm, rew_norm=rew_norm,
     )

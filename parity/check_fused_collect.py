@@ -58,21 +58,41 @@ def main() -> int:
 
     t, b2 = traj.reward.shape
     assert b2 == 2 * n_envs, "self-play buffer: both perspectives"
-    flat_obs = traj.obs.reshape(t * b2, -1)
+    n = t * b2
+    # obs is feature-major [F, N], columns ordered (view, step, env) —
+    # the SAME flat order ppo._flatten_tm gives the packed actions, so
+    # the row-major flax apply on obs.T must reproduce the kernel's own
+    # logp/value sample-for-sample.
+    from gym_futbol_tpu.ppo import _flatten_tm, _forward_fm, _logp_entropy_rows
+
+    flat_obs = traj.obs.T  # [N, F]
     logits, value = model.apply(runner.params, flat_obs)
     logp, ent = action_log_prob_and_entropy_packed(
-        logits, traj.dirs.reshape(-1), traj.acts.reshape(-1)
+        logits, _flatten_tm(traj.dirs), _flatten_tm(traj.acts)
     )
 
-    v_err = float(jnp.abs(value - traj.value.reshape(-1)).max())
-    lp_err = float(jnp.abs(logp - traj.logp.reshape(-1)).max())
+    v_err = float(jnp.abs(value - _flatten_tm(traj.value)).max())
+    lp_err = float(jnp.abs(logp - _flatten_tm(traj.logp)).max())
     print(f"value err (kernel vs flax): {v_err:.3e}")
     print(f"logp err  (kernel vs flax): {lp_err:.3e}")
 
+    # the feature-major update forward (ppo._forward_fm) must agree with
+    # the row-major flax apply on the same trained weights — this is the
+    # exact pair (kernel collect -> fm update) the config-5 path runs.
+    fm_logits, fm_value = _forward_fm(runner.params, model, traj.obs)
+    fm_logp, _ = _logp_entropy_rows(
+        fm_logits, _flatten_tm(traj.dirs), _flatten_tm(traj.acts)
+    )
+    fm_v_err = float(jnp.abs(fm_value - value).max())
+    fm_lp_err = float(jnp.abs(fm_logp - logp).max())
+    print(f"fm-update forward vs flax: value {fm_v_err:.3e} "
+          f"logp {fm_lp_err:.3e}")
+
     # the kernel's mirrored (team-1) view must equal env.mirror_obs of its
-    # team-0 view — certifies the in-kernel _obs_matrix(mirror=True)
-    obs_a = traj.obs[:, :n_envs]
-    obs_b = traj.obs[:, n_envs:]
+    # team-0 view — certifies the in-kernel _obs_matrix(mirror=True).
+    # Columns are view-major: the first N/2 are view 0.
+    obs_a = traj.obs[:, : n // 2].T
+    obs_b = traj.obs[:, n // 2:].T
     mir_err = float(jnp.abs(mirror_obs(obs_a, env_params) - obs_b).max())
     print(f"mirror err (kernel view 1 vs env.mirror_obs): {mir_err:.3e}")
 
@@ -83,6 +103,7 @@ def main() -> int:
     # precision: BOTH the kernel and flax deviate from an f64 ground
     # truth by ~4e-3 here (verified), they just round differently.
     ok = v_err < 5e-3 and lp_err < 1e-5 and mir_err < 1e-6
+    ok &= fm_v_err < 5e-3 and fm_lp_err < 1e-4
     ok &= bool(np.isfinite(rew).all())
     ok &= set(np.unique(done)) <= {False, True}
     # the two perspectives' rewards genuinely differ (not r0 twice)

@@ -232,9 +232,11 @@ class TestFusedCollectHostPlumbing:
             assert n_steps == t
             views = jnp.arange(2, dtype=jnp.float32)
             feats = jnp.arange(f, dtype=jnp.float32)
-            obs = (100.0 * views[None, :, None, None, None]
-                   + feats[None, None, :, None, None]
-                   ) * jnp.ones((t, 2, f, nb, 128), jnp.float32)
+            steps = jnp.arange(t, dtype=jnp.float32)
+            obs = (100.0 * views[:, None, None, None, None]
+                   + feats[None, :, None, None, None]
+                   + 1000.0 * steps[None, None, :, None, None]
+                   ) * jnp.ones((2, f, t, nb, 128), jnp.float32)
             pv = views[None, :, None, None] * jnp.ones(
                 (t, 2, nb, 128), jnp.float32
             )
@@ -250,13 +252,18 @@ class TestFusedCollectHostPlumbing:
         runner2, traj, last_v = collect_rollout_fused(
             runner, model, params, cfg
         )
-        assert traj.obs.shape == (t, 2 * b, f)
-        # view 0 rows [:b] carry +0, view 1 rows [b:] carry +100, and the
-        # feature axis is the minor one
-        np.testing.assert_allclose(np.asarray(traj.obs[0, 0]),
-                                   np.arange(f, dtype=np.float32))
-        np.testing.assert_allclose(np.asarray(traj.obs[1, b]),
-                                   100.0 + np.arange(f, dtype=np.float32))
+        # feature-major [F, N], columns ordered (view, step, env)
+        assert traj.obs.shape == (f, 2 * t * b)
+        col = lambda view, step, env: view * t * b + step * b + env
+        np.testing.assert_allclose(
+            np.asarray(traj.obs[:, col(0, 0, 0)]),
+            np.arange(f, dtype=np.float32))
+        np.testing.assert_allclose(
+            np.asarray(traj.obs[:, col(1, 0, 0)]),
+            100.0 + np.arange(f, dtype=np.float32))
+        np.testing.assert_allclose(
+            np.asarray(traj.obs[:, col(1, 2, b - 1)]),
+            2100.0 + np.arange(f, dtype=np.float32))
         # per-view scalars land in their halves
         np.testing.assert_allclose(np.asarray(traj.reward[:, :b]), 1.0)
         np.testing.assert_allclose(np.asarray(traj.reward[:, b:]), 2.0)
