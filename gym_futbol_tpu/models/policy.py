@@ -182,6 +182,21 @@ def make_policy_fn(model: ActorCritic, params):
     return policy
 
 
+def make_normalized_policy_fn(model: ActorCritic, params, obs_norm):
+    """Like :func:`make_policy_fn` for a policy trained through
+    observation normalization (ppo.make_normalized_collect): applies the
+    FROZEN ``obs_norm`` stats (wrappers.RunningNorm) to the raw env obs
+    before the forward — VecNormalize eval semantics (stats are not
+    updated at evaluation time)."""
+
+    def policy(key: jax.Array, obs: jax.Array) -> jax.Array:
+        logits, _ = model.apply(params, obs_norm.normalize(obs))
+        actions, _ = sample_actions(key, logits)
+        return actions
+
+    return policy
+
+
 def init_params(key: jax.Array, model: ActorCritic, env_params: EnvParams):
     from ..env import obs_size
 

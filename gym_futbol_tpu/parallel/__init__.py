@@ -1,5 +1,6 @@
 from .mesh import env_sharding, make_mesh, replicated_sharding
 from .rollout import (
+    ppo_runner_specs,
     shard_fused_rollout,
     shard_rollout,
     shard_train_iteration,
@@ -10,6 +11,7 @@ __all__ = [
     "make_mesh",
     "env_sharding",
     "replicated_sharding",
+    "ppo_runner_specs",
     "shard_fused_rollout",
     "shard_rollout",
     "shard_train_iteration",

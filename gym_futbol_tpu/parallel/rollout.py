@@ -91,6 +91,40 @@ def shard_fused_rollout(
     return jax.jit(mapped, donate_argnums=(0, 1))
 
 
+def ppo_runner_specs(
+    normalize_obs: bool = False, normalize_reward: bool = False,
+):
+    """PartitionSpec pytree for a ppo.RunnerState: envs/trajectory
+    device-local, model/optimizer replicated. The VecNormalize stats
+    (when enabled) are replicated — their batch updates are pmean'd over
+    the mesh (wrappers.RunningNorm.update), so every shard carries the
+    ONE global normalizer — except RewardNorm's per-env return
+    accumulator, which lives with its envs."""
+    from ..wrappers import RewardNorm, RunningNorm
+
+    env_spec = P(ENV_AXIS)
+    rep = P()
+    obs_norm = (
+        RunningNorm(mean=rep, var=rep, count=rep) if normalize_obs else None
+    )
+    rew_norm = (
+        RewardNorm(ret=env_spec, mean=rep, var=rep, count=rep)
+        if normalize_reward else None
+    )
+    return RunnerState(
+        params=rep,
+        opt_state=rep,
+        env_state=EnvState(
+            pos=env_spec, vel=env_spec, possession=env_spec,
+            score=env_spec, t=env_spec, key=env_spec,
+        ),
+        obs=env_spec,
+        key=rep,  # same update RNG on every shard => replicated params stay in lockstep
+        obs_norm=obs_norm,
+        rew_norm=rew_norm,
+    )
+
+
 def shard_train_iteration(
     mesh: Mesh, model, env_params: EnvParams, cfg, tx,
     iteration_fn=train_iteration, runner_specs=None,
@@ -118,19 +152,9 @@ def shard_train_iteration(
         # hand back the replicated successor key so the out_spec P() holds
         return runner.replace(key=next_key), metrics
 
-    env_spec = P(ENV_AXIS)
     rep = P()
     if runner_specs is None:
-        runner_specs = RunnerState(
-            params=rep,
-            opt_state=rep,
-            env_state=EnvState(
-                pos=env_spec, vel=env_spec, possession=env_spec,
-                score=env_spec, t=env_spec, key=env_spec,
-            ),
-            obs=env_spec,
-            key=rep,  # same update RNG on every shard => replicated params stay in lockstep
-        )
+        runner_specs = ppo_runner_specs()
 
     mapped = shard_map(
         local_iter,

@@ -27,6 +27,14 @@ def main() -> None:
     ap.add_argument("--fused-collect", action="store_true",
                     help="collect PPO experience with the Pallas "
                          "fused-collect kernel (TPU only)")
+    ap.add_argument("--normalize-obs", action="store_true",
+                    help="VecNormalize-style observation z-scoring "
+                         "through which the policy trains (one GLOBAL "
+                         "normalizer across shards; jnp collect only)")
+    ap.add_argument("--normalize-reward", action="store_true",
+                    help="VecNormalize-style reward scaling by the "
+                         "running std of discounted returns (jnp "
+                         "collect only)")
     ap.add_argument("--ppt", type=int, default=2, help="players per team")
     ap.add_argument("--envs", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=50)
@@ -72,6 +80,9 @@ def main() -> None:
     runner_specs = None
     if args.recurrent:
         args.algo = "a2c"
+    if (args.normalize_obs or args.normalize_reward) and args.algo != "ppo":
+        raise SystemExit("--normalize-obs/--normalize-reward are wired "
+                         "into the PPO collect only")
     if args.algo == "a2c":
         from . import a2c
 
@@ -90,13 +101,37 @@ def main() -> None:
         tx = make_optimizer(cfg)
         from .ppo import train_iteration as iteration_fn
 
-        if args.fused_collect:
+        normalizing = args.normalize_obs or args.normalize_reward
+        if normalizing and args.fused_collect:
+            raise SystemExit(
+                "--normalize-obs/--normalize-reward run on the jnp "
+                "collect path (the fused kernel computes raw obs "
+                "in-kernel); drop --fused-collect"
+            )
+        if args.fused_collect or normalizing:
             import functools
 
-            from .ppo import collect_rollout_fused
+            if normalizing:
+                from .parallel.mesh import ENV_AXIS
+                from .ppo import make_normalized_collect
+
+                collect_fn = make_normalized_collect(
+                    normalize_obs=args.normalize_obs,
+                    normalize_reward=args.normalize_reward,
+                    axis_name=ENV_AXIS,
+                )
+            else:
+                from .ppo import collect_rollout_fused as collect_fn
 
             iteration_fn = functools.partial(
-                iteration_fn, collect_fn=collect_rollout_fused
+                iteration_fn, collect_fn=collect_fn
+            )
+        if normalizing:
+            from .parallel import ppo_runner_specs
+
+            runner_specs = ppo_runner_specs(
+                normalize_obs=args.normalize_obs,
+                normalize_reward=args.normalize_reward,
             )
     # Per-team policy: self-play training controls both sides with one
     # shared policy through the mirrored view (ppo.collect_rollout).
@@ -128,6 +163,8 @@ def main() -> None:
         runner = init_runner(
             jax.random.PRNGKey(args.seed), model, env_params, cfg,
             n_envs=args.envs, tx=tx,
+            normalize_obs=args.normalize_obs,
+            normalize_reward=args.normalize_reward,
         )
     runner = runner.replace(env_state=shard_env_state(runner.env_state, mesh))
     step_fn = shard_train_iteration(
