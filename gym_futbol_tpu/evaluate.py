@@ -92,6 +92,18 @@ def evaluate(
     return {k: jax.device_get(v) for k, v in out.items()}
 
 
+def uniform_random_weights_like(weights: tuple) -> tuple:
+    """An all-zeros weight tuple shaped like ``weights``: the in-kernel
+    MLP then emits all-zero logits, i.e. UNIFORM action sampling — the
+    exact distribution of :func:`random_team_policy`. Use as ``weights_b``
+    in :func:`evaluate_fused` for trained-vs-random matches on the fused
+    path (the kernel requires both sides' weight lists to have the same
+    layer count)."""
+    import jax.numpy as jnp
+
+    return tuple(jnp.zeros_like(w) for w in weights)
+
+
 def evaluate_fused(
     params: EnvParams,
     weights_a: tuple,
