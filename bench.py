@@ -321,6 +321,10 @@ def main() -> None:
         help="rollout implementation for configs 2-3: Pallas fused kernel "
              "('fused'), jit+vmap ('jnp'), or fused-with-fallback ('auto')",
     )
+    ap.add_argument("--assert-floor", type=float, default=None,
+                    help="fail (exit 1, ok:false in the JSON) if the "
+                         "measured steps/s is below this floor — the "
+                         "perf-regression gate (parity/check_perf.py)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -365,16 +369,18 @@ def main() -> None:
                       "falling back to jnp collect")
                 steps_per_sec = bench_ppo(args, with_update)
 
-    print(
-        json.dumps(
-            {
-                "metric": "env_steps_per_sec",
-                "value": round(steps_per_sec),
-                "unit": "steps/s",
-                "vs_baseline": round(steps_per_sec / 1_000_000, 3),
-            }
-        )
-    )
+    record = {
+        "metric": "env_steps_per_sec",
+        "value": round(steps_per_sec),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / 1_000_000, 3),
+    }
+    if args.assert_floor is not None:
+        record["floor"] = args.assert_floor
+        record["ok"] = steps_per_sec >= args.assert_floor
+    print(json.dumps(record))
+    if args.assert_floor is not None and not record["ok"]:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -87,19 +87,39 @@ def run_case(lib, params: EnvParams, seed: int, n_steps: int,
 
 
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exhaustive", action="store_true",
+                    help="full body-count x seed matrix (the round-2 "
+                         "default; ~5 min of x64 compiles + ctypes "
+                         "round-trips). Default is a slimmed set chosen "
+                         "so parity/run_all.py stays routinely runnable "
+                         "(VERDICT r2 item 6); coverage is identical in "
+                         "kind (free + dense-contact, small + max body "
+                         "count), just fewer seeds/steps.")
+    args = ap.parse_args()
+
     assert jax.config.jax_enable_x64, "x64 required for parity"
     lib = load_oracle()
-    cases = [
-        ("1v1 free", EnvParams(players_per_team=1), False, 200),
-        ("2v2 free", EnvParams(players_per_team=2), False, 200),
-        ("2v2 dense-contact", EnvParams(players_per_team=2), True, 100),
-        ("3v3 dense-contact", EnvParams(players_per_team=3), True, 100),
-        ("5v5 dense-contact", EnvParams(players_per_team=5), True, 50),
-    ]
+    if args.exhaustive:
+        cases = [
+            ("1v1 free", EnvParams(players_per_team=1), False, 200, 3),
+            ("2v2 free", EnvParams(players_per_team=2), False, 200, 3),
+            ("2v2 dense-contact", EnvParams(players_per_team=2), True, 100, 3),
+            ("3v3 dense-contact", EnvParams(players_per_team=3), True, 100, 3),
+            ("5v5 dense-contact", EnvParams(players_per_team=5), True, 50, 3),
+        ]
+    else:
+        cases = [
+            ("1v1 free", EnvParams(players_per_team=1), False, 100, 2),
+            ("2v2 dense-contact", EnvParams(players_per_team=2), True, 60, 2),
+            ("5v5 dense-contact", EnvParams(players_per_team=5), True, 30, 1),
+        ]
     failures = 0
-    for name, params, dense, steps in cases:
+    for name, params, dense, steps, seeds in cases:
         worst_step, worst_drift = 0.0, 0.0
-        for seed in range(3):
+        for seed in range(seeds):
             se, dr = run_case(lib, params, seed, steps, dense)
             worst_step = max(worst_step, se)
             worst_drift = max(worst_drift, dr)

@@ -1,22 +1,33 @@
 """Run EVERY parity/consistency gate and emit one JSON line.
 
-The automated umbrella over the individual harnesses (VERDICT r1 item 5):
+The automated umbrella over the individual harnesses (VERDICT r1 item 5;
+concurrent lanes + routine-runnable wall time are VERDICT r2 item 6):
 
-    CPU gates  (forced JAX_PLATFORMS=cpu, no TPU tunnel):
+    CPU gates  (forced JAX_PLATFORMS=cpu, no TPU tunnel; each gate in its
+                own thread — they are separate processes on a multi-core
+                host):
       - check_env_parity      full env.step vs the C++ oracle (~1e-13)
-      - check_physics_parity  physics substep vs the oracle
-    TPU gates  (ambient platform; skipped with --cpu-only):
+      - check_physics_parity  physics substep vs the oracle (slimmed
+                              case set; full matrix via --exhaustive)
+    TPU lane   (ambient platform; SEQUENTIAL — one chip; skipped with
+                --cpu-only):
       - check_fused_actor     policy-in-kernel rollout, statistical
       - check_fused_collect   fused-collect logp/value/mirror consistency
+      - check_perf            bench floors (opt-in: --with-perf)
+      - check_learning        trained-vs-random win gate (opt-in:
+                              --with-learning; ~3 min/seed on the v5e)
 
-Each gate runs in its OWN subprocess — the CPU ones must skip the axon
-TPU tunnel (PALLAS_AXON_POOL_IPS=) and the TPU ones must keep it, and
-jax platform selection is per-process state.
+The two lanes run CONCURRENTLY, so warm wall time is max(TPU lane,
+slowest CPU gate), not the sum. Each gate runs in its OWN subprocess —
+the CPU ones must skip the axon TPU tunnel (PALLAS_AXON_POOL_IPS=) and
+the TPU ones must keep it, and jax platform selection is per-process
+state.
 
 Prints one summary JSON object on the last line and exits nonzero if any
 gate fails. Usage:
 
-    python parity/run_all.py [--cpu-only] [--timeout SECONDS]
+    python parity/run_all.py [--cpu-only] [--with-perf]
+                             [--with-learning] [--timeout SECONDS]
 """
 
 from __future__ import annotations
@@ -27,6 +38,7 @@ import os
 import subprocess
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -34,7 +46,8 @@ CPU_GATES = ["check_env_parity.py", "check_physics_parity.py"]
 TPU_GATES = ["check_fused_actor.py", "check_fused_collect.py"]
 
 
-def run_gate(script: str, cpu: bool, timeout: int) -> dict:
+def run_gate(script: str, cpu: bool, timeout: int,
+             extra_args: list[str] | None = None) -> dict:
     env = dict(os.environ)
     if cpu:
         env["PALLAS_AXON_POOL_IPS"] = ""   # skip TPU tunnel registration
@@ -42,7 +55,7 @@ def run_gate(script: str, cpu: bool, timeout: int) -> dict:
     t0 = time.perf_counter()
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.join(HERE, script)],
+            [sys.executable, os.path.join(HERE, script), *(extra_args or [])],
             env=env, capture_output=True, text=True, timeout=timeout,
         )
         rc = proc.returncode
@@ -51,30 +64,51 @@ def run_gate(script: str, cpu: bool, timeout: int) -> dict:
             tail = proc.stderr.strip().splitlines()[-1]
     except subprocess.TimeoutExpired:
         rc, tail = 124, "timeout"
-    return {
+    rec = {
         "gate": script.removesuffix(".py"),
         "ok": rc == 0,
         "seconds": round(time.perf_counter() - t0, 1),
         "last_line": tail[:200],
     }
+    print(f"# {'OK ' if rec['ok'] else 'FAIL'} {rec['gate']:24s} "
+          f"{rec['seconds']:7.1f}s  {rec['last_line']}", flush=True)
+    return rec
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-only", action="store_true",
                     help="skip the TPU-only kernel gates")
-    ap.add_argument("--timeout", type=int, default=1200,
+    ap.add_argument("--with-perf", action="store_true",
+                    help="also run check_perf.py (bench regression "
+                         "floors) in the TPU lane")
+    ap.add_argument("--with-learning", action="store_true",
+                    help="also run check_learning.py (trained-vs-random "
+                         "win gate) in the TPU lane")
+    ap.add_argument("--timeout", type=int, default=1800,
                     help="per-gate timeout (first TPU compile is slow)")
     args = ap.parse_args()
 
-    results = [run_gate(s, cpu=True, timeout=args.timeout) for s in CPU_GATES]
-    if not args.cpu_only:
-        results += [
-            run_gate(s, cpu=False, timeout=args.timeout) for s in TPU_GATES
-        ]
-    for r in results:
-        print(f"# {'OK ' if r['ok'] else 'FAIL'} {r['gate']:24s} "
-              f"{r['seconds']:7.1f}s  {r['last_line']}")
+    t_start = time.perf_counter()
+    tpu_gates = list(TPU_GATES)
+    if args.with_perf:
+        tpu_gates.append("check_perf.py")
+    if args.with_learning:
+        tpu_gates.append("check_learning.py")
+
+    def tpu_lane() -> list[dict]:
+        return [run_gate(s, cpu=False, timeout=args.timeout)
+                for s in tpu_gates]
+
+    results: list[dict] = []
+    with ThreadPoolExecutor(max_workers=len(CPU_GATES) + 1) as ex:
+        cpu_futs = [ex.submit(run_gate, s, True, args.timeout)
+                    for s in CPU_GATES]
+        tpu_fut = None if args.cpu_only else ex.submit(tpu_lane)
+        results += [f.result() for f in cpu_futs]
+        if tpu_fut is not None:
+            results += tpu_fut.result()
+
     ok = all(r["ok"] for r in results)
     print(json.dumps({
         "metric": "parity_gates_passed",
@@ -82,6 +116,7 @@ def main() -> int:
         "unit": f"of {len(results)}",
         "ok": ok,
         "gates": {r["gate"]: r["ok"] for r in results},
+        "wall_seconds": round(time.perf_counter() - t_start, 1),
     }))
     return 0 if ok else 1
 
