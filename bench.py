@@ -196,11 +196,16 @@ def bench_ppo(args, with_update: bool, fused: bool = False) -> float:
     collect_fn = collect_rollout_fused if fused else collect_rollout
 
     if with_update:
+        iter_kw = {"collect_fn": collect_fn}
+        if fused:
+            # the Pallas fused-update kernel consumes the fused collect's
+            # feature-major buffer directly (ops/fused_update.py)
+            from gym_futbol_tpu.ppo import update_epochs_fused
+
+            iter_kw["update_fn"] = update_epochs_fused
         fn = shard_train_iteration(
             mesh, model, env_params, cfg, tx,
-            iteration_fn=functools.partial(
-                train_iteration, collect_fn=collect_fn
-            ),
+            iteration_fn=functools.partial(train_iteration, **iter_kw),
         )
 
         def once(r):

@@ -9,7 +9,9 @@ driven by both teams' sampled actions, and auto-reset — and emits exactly
 what the self-play PPO update consumes (see ppo.collect_rollout: rows are
 perspectives; view 0 = team 0, view 1 = team 1 in its mirrored frame):
 
-    obs    [2, F, T, B//128, 128] f32  (streamed to HBM per step via DMA)
+    obs    [2, F_pad, T, B//128, 128] f32  (streamed to HBM per step via
+                                        DMA; F_pad = F rounded up to a
+                                        multiple of 8, pad rows ZERO)
     dirs   [T, 2, B//128, 128] i32     (bit-packed, 3 bits/player,
                                         view 1 in the MIRRORED frame)
     acts   [T, 2, B//128, 128] i32
@@ -135,6 +137,9 @@ def _collect_kernel(params: EnvParams, n_steps: int, sub: int,
     block = sub * _LANE
     shape = (sub, _LANE)
     f_dim = 4 * n + 2
+    f_pad = -(-f_dim // 8) * 8  # feature rows padded with zeros so the
+    # [F_pad, N] buffer's sublane dim is tile-aligned for the fused
+    # update kernel's DMA slabs (ops/fused_update.py)
 
     def kernel(seed_ref, *refs):
         w = [refs[i] for i in range(2 * n_dense)]
@@ -175,8 +180,12 @@ def _collect_kernel(params: EnvParams, n_steps: int, sub: int,
             xb, lb, vb = forward(px, py, vx, vy, poss, True)
 
             # stream this step's two obs blocks to HBM in one DMA
-            obs_scratch[0] = xa.reshape(f_dim, sub, _LANE)
-            obs_scratch[1] = xb.reshape(f_dim, sub, _LANE)
+            # (zero rows pad F to the tile-aligned F_pad)
+            zpad = jnp.zeros((f_pad - f_dim, block), jnp.float32)
+            xa = jnp.concatenate([xa, zpad], axis=0)
+            xb = jnp.concatenate([xb, zpad], axis=0)
+            obs_scratch[0] = xa.reshape(f_pad, sub, _LANE)
+            obs_scratch[1] = xb.reshape(f_pad, sub, _LANE)
             dma = pltpu.make_async_copy(
                 obs_scratch,
                 obs_hbm.at[:, :, step_i, pl.ds(blk * sub, sub), :],
@@ -286,6 +295,7 @@ def fused_collect(
     """
     n = params.n_bodies
     f_dim = 4 * n + 2
+    f_pad = -(-f_dim // 8) * 8
     nb = statef.shape[1]
     b = nb * _LANE
     assert b % block == 0, f"n_envs {b} must be a multiple of block {block}"
@@ -332,7 +342,7 @@ def fused_collect(
             tile3(2),                                  # last_value (2 views)
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, f_dim, sub, _LANE), jnp.float32),
+            pltpu.VMEM((2, f_pad, sub, _LANE), jnp.float32),
             pltpu.VMEM((2, 3, sub, _LANE), jnp.float32),
             pltpu.VMEM((2, 3, sub, _LANE), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
@@ -343,7 +353,7 @@ def fused_collect(
     out_shape = [
         jax.ShapeDtypeStruct((4 * n, nb, _LANE), jnp.float32),
         jax.ShapeDtypeStruct((4, nb, _LANE), jnp.int32),
-        jax.ShapeDtypeStruct((2, f_dim, n_steps, nb, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((2, f_pad, n_steps, nb, _LANE), jnp.float32),
         jax.ShapeDtypeStruct((n_steps, 2, 3, nb, _LANE), jnp.float32),
         jax.ShapeDtypeStruct((n_steps, 2, 3, nb, _LANE), jnp.int32),
         jax.ShapeDtypeStruct((2, nb, _LANE), jnp.float32),

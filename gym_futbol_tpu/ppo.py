@@ -317,7 +317,9 @@ def collect_rollout_fused(
         sf, si, w, seed, env_params, cfg.rollout_steps, block=block
     )
     t, b = cfg.rollout_steps, sf.shape[1] * 128
-    f = env_core.obs_size(env_params)
+    f = obs.shape[1]  # F_pad: feature rows padded to a multiple of 8
+    # (zero pad rows; fused_collect docstring) so the fused update's DMA
+    # slabs are tile-aligned
     traj = Transition(
         # [2, F, T, nb, 128] -> [F, 2, T*B] -> [F, N]: feature-major with
         # samples ordered (view, step, env) — matches _flatten_tm's order,
@@ -381,8 +383,14 @@ def _forward_fm(params, model: ActorCritic, obs_fm: jax.Array):
     contract = (((0,), (0,)), ((), ()))
     for i in range(n_hidden):
         layer = dense[f"Dense_{i}"]
+        kern = layer["kernel"]
+        if i == 0 and x.shape[0] > kern.shape[0]:
+            # fused-collect obs rows are zero-padded to a multiple of 8;
+            # pad the first layer's weights to match (exact: 0 * pad)
+            kern = jnp.pad(kern,
+                           ((0, x.shape[0] - kern.shape[0]), (0, 0)))
         x = jnp.tanh(
-            jax.lax.dot_general(layer["kernel"], x, contract)
+            jax.lax.dot_general(kern, x, contract)
             + layer["bias"][:, None]
         )
     head_l = dense[f"Dense_{n_hidden}"]
@@ -577,10 +585,101 @@ def update_epochs(
     return params, opt_state, jax.tree.map(lambda m: m.mean(), metrics)
 
 
+def update_epochs_fused(
+    params, opt_state, traj: Transition, adv, returns,
+    key: jax.Array, model: ActorCritic, tx, cfg: PPOConfig,
+    axis_name: str | None = None, interpret: bool = False,
+    compute_dtype=None,
+):
+    """Drop-in for :func:`update_epochs` on the Pallas fused-update
+    kernel (ops/fused_update.py): each minibatch's forward + backward
+    runs as ONE kernel over VMEM-resident sample blocks, with the
+    per-epoch shuffle permutation applied by scalar-prefetch index maps
+    (no gathered minibatch copy, no HBM activation round-trips). Same
+    loss math as :func:`ppo_loss` — certified by
+    tests/test_ops.py::TestFusedUpdate and parity/check_fused_update.py.
+
+    Requires the feature-major [F, N] trajectory obs (the fused collect's
+    native layout) with N a multiple of cfg.shuffle_block; TPU only
+    (interpret=True runs the interpreter, for tests).
+    """
+    from .ops.fused_collect import flatten_actor_critic
+    from .ops.fused_update import fused_minibatch_grad, unflatten_actor_critic
+
+    t, b2 = traj.reward.shape
+    n = t * b2
+    assert traj.obs.ndim == 2 and traj.obs.shape[1] == n, (
+        "update_epochs_fused needs the feature-major [F, N] obs layout "
+        "(collect_rollout_fused); use update_epochs for row-major obs"
+    )
+    block = cfg.shuffle_block
+    assert n % block == 0 and (n // block) >= cfg.minibatches, (
+        f"buffer of {n} samples needs a multiple of shuffle_block={block} "
+        f"with at least {cfg.minibatches} blocks"
+    )
+    n_blocks = n // block
+    obs_fm = traj.obs
+    flat = {
+        "dirs": traj.dirs, "acts": traj.acts, "logp": traj.logp,
+        "value": traj.value, "adv": adv, "ret": returns,
+    }
+    flat = {k: _flatten_tm(v).reshape(n_blocks, block)
+            for k, v in flat.items()}
+    mb_blocks = n_blocks // cfg.minibatches
+    n_torso = len(model.hidden)
+
+    def epoch(carry, k):
+        params, opt_state = carry
+        perm = jax.random.permutation(k, n_blocks)
+
+        def minibatch(carry, idx):
+            params, opt_state = carry
+            adv_mb = jnp.take(flat["adv"], idx, axis=0)
+            adv_n = (adv_mb - adv_mb.mean()) / (adv_mb.std() + 1e-8)
+            w = flatten_actor_critic(params, model)
+            kw = {} if compute_dtype is None else {
+                "compute_dtype": compute_dtype
+            }
+            grads_flat, msums = fused_minibatch_grad(
+                w, obs_fm, flat["dirs"], flat["acts"], flat["logp"],
+                flat["value"], flat["ret"], adv_n, idx,
+                n_torso=n_torso, clip_eps=cfg.clip_eps,
+                vf_coef=cfg.vf_coef, ent_coef=cfg.ent_coef, block=block,
+                interpret=interpret, **kw,
+            )
+            grads = unflatten_actor_critic(grads_flat, model)
+            inv_m = 1.0 / (mb_blocks * block)
+            metrics = {k: v * inv_m for k, v in msums.items()}
+            metrics["loss"] = (
+                metrics["pg_loss"] + cfg.vf_coef * metrics["v_loss"]
+                - cfg.ent_coef * metrics["entropy"]
+            )
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+                metrics = jax.lax.pmean(metrics, axis_name)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), metrics
+
+        idxs = perm[: cfg.minibatches * mb_blocks].reshape(
+            cfg.minibatches, mb_blocks
+        )
+        (params, opt_state), metrics = jax.lax.scan(
+            minibatch, (params, opt_state), idxs
+        )
+        return (params, opt_state), metrics
+
+    keys = jax.random.split(key, cfg.epochs)
+    (params, opt_state), metrics = jax.lax.scan(
+        epoch, (params, opt_state), keys
+    )
+    return params, opt_state, jax.tree.map(lambda m: m.mean(), metrics)
+
+
 def train_iteration(
     runner: RunnerState, model: ActorCritic, env_params: EnvParams,
     cfg: PPOConfig, tx, axis_name: str | None = None,
-    collect_fn=None,
+    collect_fn=None, update_fn=None,
 ) -> tuple[RunnerState, dict[str, jax.Array]]:
     """One full PPO iteration: rollout -> GAE -> epochs of updates.
 
@@ -588,12 +687,15 @@ def train_iteration(
     :mod:`gym_futbol_tpu.parallel` and by ``train.py``. ``collect_fn``
     defaults to the jnp :func:`collect_rollout`; pass
     :func:`collect_rollout_fused` for the Pallas kernel path (TPU only).
+    ``update_fn`` defaults to :func:`update_epochs`; pass
+    :func:`update_epochs_fused` for the Pallas fused-update kernel.
     """
     collect_fn = collect_fn or collect_rollout
+    update_fn = update_fn or update_epochs
     runner, traj, last_value = collect_fn(runner, model, env_params, cfg)
     adv, returns = compute_gae(traj, last_value, cfg)
     key, k_update = jax.random.split(runner.key)
-    params, opt_state, metrics = update_epochs(
+    params, opt_state, metrics = update_fn(
         runner.params, runner.opt_state, traj, adv, returns, k_update,
         model, tx, cfg, axis_name,
     )

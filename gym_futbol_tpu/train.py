@@ -26,7 +26,12 @@ def main() -> None:
     ap.add_argument("--lstm-size", type=int, default=128)
     ap.add_argument("--fused-collect", action="store_true",
                     help="collect PPO experience with the Pallas "
-                         "fused-collect kernel (TPU only)")
+                         "fused-collect kernel (TPU only); also runs the "
+                         "update epochs on the Pallas fused-update kernel "
+                         "unless --no-fused-update")
+    ap.add_argument("--no-fused-update", action="store_true",
+                    help="with --fused-collect, keep the XLA update path "
+                         "instead of the Pallas fused-update kernel")
     ap.add_argument("--normalize-obs", action="store_true",
                     help="VecNormalize-style observation z-scoring "
                          "through which the policy trains (one GLOBAL "
@@ -123,9 +128,12 @@ def main() -> None:
             else:
                 from .ppo import collect_rollout_fused as collect_fn
 
-            iteration_fn = functools.partial(
-                iteration_fn, collect_fn=collect_fn
-            )
+            iter_kw = {"collect_fn": collect_fn}
+            if args.fused_collect and not args.no_fused_update:
+                from .ppo import update_epochs_fused
+
+                iter_kw["update_fn"] = update_epochs_fused
+            iteration_fn = functools.partial(iteration_fn, **iter_kw)
         if normalizing:
             from .parallel import ppo_runner_specs
 

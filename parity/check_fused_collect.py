@@ -26,6 +26,7 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from gym_futbol_tpu import EnvParams  # noqa: E402
+from gym_futbol_tpu.env import obs_size  # noqa: E402
 from gym_futbol_tpu.models.policy import (  # noqa: E402
     ActorCritic,
     action_log_prob_and_entropy_packed,
@@ -65,7 +66,11 @@ def main() -> int:
     # logp/value sample-for-sample.
     from gym_futbol_tpu.ppo import _flatten_tm, _forward_fm, _logp_entropy_rows
 
-    flat_obs = traj.obs.T  # [N, F]
+    f_real = obs_size(env_params)
+    # fused collect pads feature rows to a multiple of 8 with zeros
+    pad_rows = traj.obs[f_real:]
+    assert float(jnp.abs(pad_rows).max()) == 0.0, "obs pad rows not zero"
+    flat_obs = traj.obs[:f_real].T  # [N, F]
     logits, value = model.apply(runner.params, flat_obs)
     logp, ent = action_log_prob_and_entropy_packed(
         logits, _flatten_tm(traj.dirs), _flatten_tm(traj.acts)
@@ -91,8 +96,8 @@ def main() -> int:
     # the kernel's mirrored (team-1) view must equal env.mirror_obs of its
     # team-0 view — certifies the in-kernel _obs_matrix(mirror=True).
     # Columns are view-major: the first N/2 are view 0.
-    obs_a = traj.obs[:, : n // 2].T
-    obs_b = traj.obs[:, n // 2:].T
+    obs_a = traj.obs[:f_real, : n // 2].T
+    obs_b = traj.obs[:f_real, n // 2:].T
     mir_err = float(jnp.abs(mirror_obs(obs_a, env_params) - obs_b).max())
     print(f"mirror err (kernel view 1 vs env.mirror_obs): {mir_err:.3e}")
 

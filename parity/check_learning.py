@@ -113,9 +113,16 @@ def main() -> int:
     )
     tx = make_optimizer(cfg, total_iters=args.iters)
     collect_fn = collect_rollout if args.jnp_collect else collect_rollout_fused
+    update_fn = None
+    if not args.jnp_collect:
+        # the Pallas fused-update kernel (bf16 matmuls) is the production
+        # config-5 path; passing the learning gate on it is the
+        # end-to-end certification that its gradients train
+        from gym_futbol_tpu.ppo import update_epochs_fused as update_fn
     step_fn = jax.jit(
         lambda r: train_iteration(
-            r, model, env_params, cfg, tx, collect_fn=collect_fn
+            r, model, env_params, cfg, tx, collect_fn=collect_fn,
+            update_fn=update_fn,
         )
     )
 

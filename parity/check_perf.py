@@ -26,7 +26,7 @@ BENCH = os.path.join(os.path.dirname(HERE), "bench.py")
 FLOORS = [
     (3, 40e6, "54.9M fused rollout"),
     (6, 30e6, "43M policy-in-kernel self-play"),
-    (5, 8e6, "full 5v5 sharded PPO iteration (r3 target)"),
+    (5, 6.5e6, "8.57M full 5v5 PPO iteration (fused update, r3)"),
 ]
 
 

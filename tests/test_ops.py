@@ -279,3 +279,129 @@ class TestFusedCollectHostPlumbing:
         assert runner2.obs.shape == (b, f)
         assert not np.array_equal(np.asarray(runner2.key),
                                   np.asarray(runner.key))
+
+
+class TestFusedUpdate:
+    """The Pallas fused PPO-update kernel (ops/fused_update.py) must
+    reproduce jax.grad(ppo_loss) — same loss math, hand-written backward
+    (interpret mode here; on-chip: parity/check_fused_update.py)."""
+
+    P5 = EnvParams(players_per_team=2)
+
+    def _setup(self, key, n_blocks=4, block=128, hidden=(16, 8)):
+        from gym_futbol_tpu.models.policy import ActorCritic, init_params
+        from gym_futbol_tpu.ops.fused_collect import flatten_actor_critic
+
+        model = ActorCritic(n_players=self.P5.players_per_team,
+                            hidden=hidden)
+        params = init_params(key, model, self.P5)
+        w = flatten_actor_critic(params, model)
+        f = 4 * self.P5.n_bodies + 2
+        n = n_blocks * block
+        ks = jax.random.split(key, 8)
+        def packed(k):
+            # valid bit-packed per-player indices (3 bits each, 0..4 only
+            # — the kernel's one-hot gradient assumes in-range actions)
+            a = jax.random.randint(k, (2, n_blocks, block), 0, 5,
+                                   dtype=jnp.int32)
+            return a[0] | (a[1] << 3)
+
+        f_pad = -(-f // 8) * 8
+        data = dict(
+            obs_fm=jax.random.normal(ks[0], (f_pad, n_blocks * block)),
+            dirs_blk=packed(ks[1]),
+            acts_blk=packed(ks[2]),
+            logp_blk=-jnp.abs(jax.random.normal(ks[3], (n_blocks, block))),
+            value_blk=jax.random.normal(ks[4], (n_blocks, block)),
+            ret_blk=jax.random.normal(ks[5], (n_blocks, block)),
+        )
+        adv_blk = jax.random.normal(ks[6], (n_blocks, block))
+        return model, params, w, data, adv_blk
+
+    def test_grads_match_jax_grad(self, key):
+        from gym_futbol_tpu.ops.fused_update import (
+            fused_minibatch_grad, unflatten_actor_critic,
+        )
+        from gym_futbol_tpu.ppo import PPOConfig, ppo_loss
+
+        cfg = PPOConfig()
+        model, params, w, data, adv_blk = self._setup(key)
+        block = 128
+        idx = jnp.asarray([2, 0], jnp.int32)  # minibatch = blocks 2, 0
+        adv_mb = jnp.take(adv_blk, idx, axis=0)
+        adv_n = (adv_mb - adv_mb.mean()) / (adv_mb.std() + 1e-8)
+
+        grads_flat, msums = fused_minibatch_grad(
+            w, **data, adv_n=adv_n, idx=idx, n_torso=len(model.hidden),
+            clip_eps=cfg.clip_eps, vf_coef=cfg.vf_coef,
+            ent_coef=cfg.ent_coef, block=block, interpret=True,
+            compute_dtype=jnp.float32,
+        )
+        got = unflatten_actor_critic(grads_flat, model)
+
+        # reference: jax.grad(ppo_loss) on the gathered minibatch
+        take = lambda x: jnp.take(x, idx, axis=0).reshape(-1)
+        # [F, mb] feature-major, samples in idx-block order
+        ob3 = data["obs_fm"].reshape(-1, 4, block)
+        mb_obs = jnp.take(ob3, idx, axis=1).reshape(ob3.shape[0],
+                                                    2 * block)
+        ref_grads, ref_m = jax.grad(ppo_loss, has_aux=True)(
+            params, model, mb_obs, take(data["dirs_blk"]),
+            take(data["acts_blk"]), take(data["logp_blk"]),
+            take(data["value_blk"]), take(adv_blk), take(data["ret_blk"]),
+            cfg,
+        )
+        for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ref_grads)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-6)
+        inv_m = 1.0 / (2 * block)
+        for name in ("pg_loss", "v_loss", "entropy", "approx_kl"):
+            np.testing.assert_allclose(
+                float(msums[name]) * inv_m, float(ref_m[name]),
+                rtol=2e-4, atol=1e-6,
+            )
+
+    def test_update_epochs_fused_matches_update_epochs(self, key):
+        from gym_futbol_tpu.models.policy import ActorCritic, init_params
+        from gym_futbol_tpu.ppo import (
+            PPOConfig, Transition, compute_gae, make_optimizer,
+            update_epochs, update_epochs_fused,
+        )
+
+        cfg = PPOConfig(rollout_steps=2, epochs=2, minibatches=2,
+                        shuffle_block=128, remat=False)
+        model = ActorCritic(n_players=self.P5.players_per_team,
+                            hidden=(16,))
+        params = init_params(key, model, self.P5)
+        tx = make_optimizer(cfg)
+        opt_state = tx.init(params)
+        t, b2 = cfg.rollout_steps, 2 * 128
+        f = 4 * self.P5.n_bodies + 2
+        f_pad = -(-f // 8) * 8  # fused-collect obs row padding contract
+        ks = jax.random.split(key, 8)
+        traj = Transition(
+            obs=jax.random.normal(ks[0], (f_pad, t * b2)),
+            dirs=(jax.random.randint(ks[1], (t, b2), 0, 5, jnp.int32)
+                  | (jax.random.randint(ks[7], (t, b2), 0, 5, jnp.int32)
+                     << 3)),
+            acts=(jax.random.randint(ks[2], (t, b2), 0, 5, jnp.int32)
+                  | (jax.random.randint(ks[5], (t, b2), 0, 5, jnp.int32)
+                     << 3)),
+            logp=-jnp.abs(jax.random.normal(ks[3], (t, b2))),
+            value=jax.random.normal(ks[4], (t, b2)),
+            reward=jax.random.normal(ks[5], (t, b2)),
+            done=jnp.zeros((t, b2), bool),
+        )
+        adv, ret = compute_gae(traj, jnp.zeros(b2), cfg)
+        p1, _, m1 = update_epochs(
+            params, opt_state, traj, adv, ret, ks[6], model, tx, cfg
+        )
+        p2, _, m2 = update_epochs_fused(
+            params, opt_state, traj, adv, ret, ks[6], model, tx, cfg,
+            interpret=True, compute_dtype=jnp.float32,
+        )
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=5e-5)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=5e-3, atol=1e-5)
