@@ -150,3 +150,59 @@ def evaluate_fused(
         "draw_rate": float((goals[0] == goals[1]).mean()),
         "mean_team0_reward": float(rew.mean()),
     }
+
+
+def evaluate_recurrent(
+    params: EnvParams,
+    model,
+    variables,
+    policy_b: TeamPolicy | None = None,
+    n_envs: int = 1024,
+    n_steps: int = 300,
+    seed: int = 0,
+) -> dict:
+    """Head-to-head evaluation with a RECURRENT team-0 policy
+    (models.recurrent.RecurrentActorCritic): the LSTM carry is threaded
+    through the episode scan and zeroed where an episode ends — the eval
+    story for the MlpLstmPolicy analog (SURVEY.md §3.5). Team 1 runs the
+    stateless ``policy_b`` (default: uniform random) on the mirrored
+    view. Same metric semantics as :func:`evaluate`."""
+    from .models.policy import sample_actions
+    from .models.recurrent import reset_carry_where_done
+    from .vector import step_batch
+
+    policy_b = policy_b or random_team_policy(params)
+
+    @partial(jax.jit, static_argnames=())
+    def run(key):
+        k_reset, k_roll = jax.random.split(key)
+        state, obs = reset_batch(k_reset, params, n_envs)
+        carry = model.initial_carry(n_envs)
+
+        def body(c, k):
+            state, obs, carry = c
+            ka, kb = jax.random.split(k)
+            carry, (logits, _) = model.apply(variables, carry, obs)
+            act_a, _ = sample_actions(ka, logits)
+            act_b = mirror_actions(policy_b(kb, mirror_obs(obs, params)))
+            joint = jnp.concatenate([act_a, act_b], axis=-2)
+            state, out = step_batch(state, joint, params)
+            carry = reset_carry_where_done(carry, out.done)
+            return (state, out.obs, carry), (out.info["goal"],
+                                             out.team_reward[:, 0])
+
+        keys = jax.random.split(k_roll, n_steps)
+        _, (goals, rew0) = jax.lax.scan(body, (state, obs, carry), keys)
+        total_goals = goals.sum(axis=(0, 1))
+        per_env = goals.sum(axis=0)
+        return {
+            "goals": total_goals,
+            "goals_per_episode": total_goals / n_envs,
+            "win_rate_a": (per_env[:, 0] > per_env[:, 1]).mean(),
+            "win_rate_b": (per_env[:, 1] > per_env[:, 0]).mean(),
+            "draw_rate": (per_env[:, 0] == per_env[:, 1]).mean(),
+            "mean_team0_reward": rew0.mean(),
+        }
+
+    out = run(jax.random.PRNGKey(seed))
+    return {k: jax.device_get(v) for k, v in out.items()}

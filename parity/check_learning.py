@@ -86,7 +86,7 @@ def train_one_seed(seed, args, env_params, cfg, model, tx, step_fn):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=3)
-    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--iters", type=int, default=500)
     ap.add_argument("--envs", type=int, default=8192)
     ap.add_argument("--rollout-steps", type=int, default=128)
     ap.add_argument("--hidden", type=int, nargs="+", default=[128, 128])

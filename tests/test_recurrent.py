@@ -124,3 +124,23 @@ class TestRecurrent:
         assert np.isfinite(np.asarray(logp)).all()
         # episodes end at max_steps=6 -> dones occurred -> some carries zeroed
         assert np.asarray(done).sum() > 0
+
+    def test_evaluate_recurrent(self, key):
+        """Carry-threading evaluator (evaluate.evaluate_recurrent): runs
+        full episodes with the LSTM state reset at dones and returns the
+        same metric dict shape as evaluate()."""
+        from gym_futbol_tpu.evaluate import evaluate_recurrent
+
+        model = RecurrentActorCritic(n_players=P.n_players, hidden=(16,),
+                                     lstm_size=16)
+        params = init_recurrent_params(key, model, P, batch_size=4)
+        res = evaluate_recurrent(P, model, params, n_envs=16, n_steps=12,
+                                 seed=3)
+        for k in ("goals", "win_rate_a", "win_rate_b", "draw_rate",
+                  "goals_per_episode", "mean_team0_reward"):
+            assert k in res
+        assert np.isfinite(float(res["mean_team0_reward"]))
+        assert 0.0 <= float(res["win_rate_a"]) <= 1.0
+        total = (float(res["win_rate_a"]) + float(res["win_rate_b"])
+                 + float(res["draw_rate"]))
+        np.testing.assert_allclose(total, 1.0, atol=1e-6)
