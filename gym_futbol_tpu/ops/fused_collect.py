@@ -170,6 +170,20 @@ def _collect_kernel(params: EnvParams, n_steps: int, sub: int,
             ) + bv).reshape(block)
             return x, logits, value
 
+        def misc_dmas(step):
+            return (
+                pltpu.make_async_copy(
+                    miscf_scratch,
+                    miscf_hbm.at[step, :, :, pl.ds(blk * sub, sub), :],
+                    miscf_sem,
+                ),
+                pltpu.make_async_copy(
+                    misci_scratch,
+                    misci_hbm.at[step, :, :, pl.ds(blk * sub, sub), :],
+                    misci_sem,
+                ),
+            )
+
         def body(step_i, carry):
             px, py, vx, vy, poss, s0, s1, t = (
                 list(carry[0]), list(carry[1]), list(carry[2]),
@@ -225,6 +239,16 @@ def _collect_kernel(params: EnvParams, n_steps: int, sub: int,
             # stream the six small rows to HBM (scratch layout:
             # [view, field, sub, 128]; f32 fields logp|value|reward,
             # i32 fields dirs|acts|done)
+            # the misc DMAs are WAITED one step late (ADVICE r2 #2):
+            # wait for step i-1's copies only now, just before
+            # overwriting the scratches, so they overlap a full step of
+            # compute instead of serializing with the loop
+            @pl.when(step_i > 0)
+            def _():
+                prev_f, prev_i = misc_dmas(step_i - 1)
+                prev_f.wait()
+                prev_i.wait()
+
             miscf_scratch[0, 0] = logp_a.reshape(sub, _LANE)
             miscf_scratch[1, 0] = logp_b.reshape(sub, _LANE)
             miscf_scratch[0, 1] = va.reshape(sub, _LANE)
@@ -237,21 +261,10 @@ def _collect_kernel(params: EnvParams, n_steps: int, sub: int,
             misci_scratch[1, 1] = apack_b
             misci_scratch[0, 2] = done_i
             misci_scratch[1, 2] = done_i
-            dma_f = pltpu.make_async_copy(
-                miscf_scratch,
-                miscf_hbm.at[step_i, :, :, pl.ds(blk * sub, sub), :],
-                miscf_sem,
-            )
+            dma_f, dma_i = misc_dmas(step_i)
             dma_f.start()
-            dma_i = pltpu.make_async_copy(
-                misci_scratch,
-                misci_hbm.at[step_i, :, :, pl.ds(blk * sub, sub), :],
-                misci_sem,
-            )
             dma_i.start()
-            dma.wait()  # scratches reused next iteration
-            dma_f.wait()
-            dma_i.wait()
+            dma.wait()  # obs scratch reused next iteration
             return (tuple(px), tuple(py), tuple(vx), tuple(vy),
                     poss, s0, s1, t)
 
@@ -259,6 +272,10 @@ def _collect_kernel(params: EnvParams, n_steps: int, sub: int,
         init = (tuple(px), tuple(py), tuple(vx), tuple(vy),
                 state[4], state[5], state[6], state[7])
         out = jax.lax.fori_loop(0, n_steps, body, init)
+        # drain the last step's misc copies (waited one step late)
+        last_f, last_i = misc_dmas(n_steps - 1)
+        last_f.wait()
+        last_i.wait()
         px, py, vx, vy = (list(out[0]), list(out[1]), list(out[2]),
                           list(out[3]))
         _write_state(out_sf, out_si, n, px, py, vx, vy,

@@ -5,9 +5,9 @@ Trains ``RecurrentActorCritic`` with full-batch BPTT A2C
 (a2c.train_iteration_recurrent — the stable-baselines MlpLstmPolicy
 analog, SURVEY.md §3.5) and evaluates with the carry-threading
 evaluator (evaluate.evaluate_recurrent). Gate: trained-vs-random
-win rate >= --win-threshold (default 0.60; A2C trains slower than the
-PPO gate's 0.70 and the recurrent path has no fused kernels — this is
-a learning certification, not a throughput one).
+win rate >= --win-threshold (default 0.80; measured 0.973 on the v5e
+after 161 s / 197M env-steps — the recurrent path has no fused kernels;
+this is a learning certification, not a throughput one).
 
 Run (TPU, ~4 min):  python parity/check_recurrent_learning.py
 CPU smoke:          python parity/check_recurrent_learning.py \
@@ -43,7 +43,7 @@ def main() -> int:
     ap.add_argument("--lstm-size", type=int, default=128)
     ap.add_argument("--hidden", type=int, nargs="+", default=[128])
     ap.add_argument("--lr", type=float, default=7e-4)
-    ap.add_argument("--win-threshold", type=float, default=0.60)
+    ap.add_argument("--win-threshold", type=float, default=0.80)
     ap.add_argument("--eval-envs", type=int, default=2048)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=200)
