@@ -502,6 +502,18 @@ def _obs_to_fm(obs3: jax.Array) -> jax.Array:
     ).reshape(f, t * b2)
 
 
+def _shuffle_block_for(n: int, cfg: PPOConfig) -> int:
+    """Largest divisor of ``n`` that is <= cfg.shuffle_block and leaves at
+    least cfg.minibatches blocks. Degrading granularity (1024 -> 512 ->
+    ... -> 128) keeps the gather chunky; only a pathological buffer size
+    ever reaches the row-level (block=1) shuffle that was measured at
+    580 ms/minibatch (ADVICE r3 item 2). ``n`` is static at trace time."""
+    b = min(cfg.shuffle_block, n // max(cfg.minibatches, 1))
+    while b > 1 and n % b:
+        b -= 1
+    return max(b, 1)
+
+
 def update_epochs(
     params, opt_state, traj: Transition, adv, returns,
     key: jax.Array, model: ActorCritic, tx, cfg: PPOConfig,
@@ -532,17 +544,12 @@ def update_epochs(
     flat_fields = {k: _flatten_tm(v) for k, v in flat_fields.items()}
     # Block-granular shuffle (see PPOConfig.shuffle_block): reshape the
     # flat sample axis to [n_blocks, block] so the per-epoch permutation
-    # gathers whole contiguous chunks instead of single samples.
-    # Fall back to row-level shuffling when the buffer is too small for
-    # block granularity: with n // block < minibatches the per-minibatch
-    # block count would round to zero and every minibatch would be empty
-    # (NaN loss, silent no-op update).
-    block = (
-        cfg.shuffle_block
-        if n % cfg.shuffle_block == 0
-        and n // cfg.shuffle_block >= cfg.minibatches
-        else 1
-    )
+    # gathers whole contiguous chunks instead of single samples. When the
+    # buffer size doesn't divide by cfg.shuffle_block (or would leave
+    # fewer than `minibatches` blocks — empty minibatches, NaN loss), the
+    # granularity DEGRADES to the largest dividing block instead of
+    # collapsing to the pathological row-level gather.
+    block = _shuffle_block_for(n, cfg)
     n_blocks = n // block
     f_dim = obs_fm.shape[0]
     obs_blk = obs_fm.reshape(f_dim, n_blocks, block)

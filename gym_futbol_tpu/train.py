@@ -45,6 +45,11 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--rollout-steps", type=int, default=128)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--lr-anneal", action="store_true",
+                    help="linearly anneal the learning rate from --lr to "
+                         "--lr-final over the run's --iters (the schedule "
+                         "parity/check_learning.py trains with; PPO only)")
+    ap.add_argument("--lr-final", type=float, default=0.0)
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--minibatches", type=int, default=4)
     ap.add_argument("--hidden", type=int, nargs="+", default=[256, 256])
@@ -91,6 +96,9 @@ def main() -> None:
     if args.algo == "a2c":
         from . import a2c
 
+        if args.lr_anneal:
+            raise SystemExit("--lr-anneal is wired into the PPO optimizer "
+                             "only (A2C uses constant-lr RMSProp)")
         cfg = a2c.A2CConfig(rollout_steps=args.rollout_steps, lr=args.lr)
         tx = a2c.make_optimizer(cfg)
         if args.recurrent:
@@ -101,9 +109,13 @@ def main() -> None:
     else:
         cfg = PPOConfig(
             rollout_steps=args.rollout_steps, lr=args.lr, epochs=args.epochs,
-            minibatches=args.minibatches,
+            minibatches=args.minibatches, lr_final=args.lr_final,
         )
-        tx = make_optimizer(cfg)
+        # --lr-anneal reproduces the learning gate's schedule: linear
+        # lr -> lr_final over the whole run (ADVICE r3 item 3)
+        tx = make_optimizer(
+            cfg, total_iters=args.iters if args.lr_anneal else None
+        )
         from .ppo import train_iteration as iteration_fn
 
         normalizing = args.normalize_obs or args.normalize_reward

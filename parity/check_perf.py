@@ -22,9 +22,13 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 BENCH = os.path.join(os.path.dirname(HERE), "bench.py")
 
-# (config, floor steps/s, measured-on-v5e reference from BASELINE.md)
+# (config, floor steps/s, measured-on-v5e reference from BASELINE.md).
+# Every NAMED BASELINE config is gated (config-4 floor: VERDICT r3 weak
+# #2); round-over-round measured history lives in BASELINE.md so slow
+# drift is visible before it reaches a floor.
 FLOORS = [
-    (3, 40e6, "54.9M fused rollout"),
+    (3, 40e6, "52.9M fused rollout (r3)"),
+    (4, 21e6, "30.1M 3v3 PPO collect+GAE (r4)"),
     (6, 30e6, "43M policy-in-kernel self-play"),
     (5, 6.5e6, "8.57M full 5v5 PPO iteration (fused update, r3)"),
 ]

@@ -111,6 +111,19 @@ def main() -> int:
         if tpu_fut is not None:
             results += tpu_fut.result()
 
+    # Loud reminder of what this invocation did NOT certify (VERDICT r3
+    # weak #4): the one-command story must not silently be a third of
+    # the gates.
+    skipped = []
+    if args.cpu_only:
+        skipped.append("ALL TPU kernel gates (--cpu-only)")
+    if not args.with_perf:
+        skipped.append("check_perf (bench floors; add --with-perf)")
+    if not args.with_learning:
+        skipped.append("check_learning (win gate; add --with-learning)")
+    for s in skipped:
+        print(f"# SKIPPED (not run, not certified): {s}", flush=True)
+
     ok = all(r["ok"] for r in results)
     print(json.dumps({
         "metric": "parity_gates_passed",
@@ -118,6 +131,7 @@ def main() -> int:
         "unit": f"of {len(results)}",
         "ok": ok,
         "gates": {r["gate"]: r["ok"] for r in results},
+        "skipped": skipped,
         "wall_seconds": round(time.perf_counter() - t_start, 1),
     }))
     return 0 if ok else 1

@@ -158,6 +158,73 @@ class TestRandomMode:
         assert np.abs(rew).sum() > 0
 
 
+class TestSeedTableRandomMode:
+    """The interpret-mode PRNG substitute (VERDICT r3 item 5): the
+    production random-policy kernel body runs with a seed-derived uniform
+    table wherever ``pltpu.prng_random_bits`` cannot lower, so the
+    seed-driven production path — not the replay fallback — is what CPU
+    tests and the driver's fake-device dryrun exercise."""
+
+    def test_random_rollout_interpret_seed_table(self, setup):
+        state, _ = setup
+        sf, si = pack_state(state, P)
+        sf2, si2, rew = fused_rollout(
+            sf, si, jnp.asarray([42], jnp.int32), P, n_steps=T,
+            block=128, interpret=True,
+        )
+        rew = np.asarray(rew)
+        assert np.isfinite(rew).all()
+        assert np.isfinite(np.asarray(sf2)).all()
+        si2 = np.asarray(si2.reshape(4, B))
+        assert ((si2[3] >= 0) & (si2[3] < P.max_steps)).all()
+        assert (si2[1] >= 0).all() and (si2[2] >= 0).all()
+        assert np.abs(rew).sum() > 0
+
+    def test_seed_determines_stream(self, setup):
+        """Same seed -> identical trajectory; different seed -> different
+        (the decorrelation contract shard_fused_rollout's fold relies on)."""
+        state, _ = setup
+        sf, si = pack_state(state, P)
+        a1 = fused_rollout(sf, si, jnp.asarray([7], jnp.int32), P,
+                           n_steps=T, block=128, interpret=True)
+        # donated inputs: repack for each call
+        sf, si = pack_state(state, P)
+        a2 = fused_rollout(sf, si, jnp.asarray([7], jnp.int32), P,
+                           n_steps=T, block=128, interpret=True)
+        sf, si = pack_state(state, P)
+        b1 = fused_rollout(sf, si, jnp.asarray([8], jnp.int32), P,
+                           n_steps=T, block=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
+        np.testing.assert_array_equal(np.asarray(a1[2]), np.asarray(a2[2]))
+        assert not np.array_equal(np.asarray(a1[0]), np.asarray(b1[0]))
+
+    def test_sharded_streams_decorrelated(self):
+        """shard_fused_rollout folds the mesh position into the seed;
+        every shard must produce a distinct trajectory from the same
+        replicated initial state."""
+        from gym_futbol_tpu.parallel import make_mesh, shard_fused_rollout
+
+        mesh = make_mesh()
+        n_dev = len(mesh.devices.flat)
+        b = 128 * n_dev
+        state, _ = reset_batch(jax.random.PRNGKey(5), P, b)
+        # replicate one tile's state to every shard so only the PRNG
+        # stream can differentiate them
+        sf, si = pack_state(state, P)
+        sf = jnp.tile(sf[:, :1], (1, n_dev, 1))
+        si = jnp.tile(si[:, :1], (1, n_dev, 1))
+        run = shard_fused_rollout(mesh, P, n_steps=T, block=128,
+                                  interpret=True)
+        sf2, si2, rew = run(sf, si, jnp.asarray([3], jnp.int32))
+        assert np.isfinite(np.asarray(rew)).all()
+        ball = np.asarray(sf2)[:2].reshape(2, n_dev, 128)
+        for i in range(n_dev):
+            for j in range(i + 1, n_dev):
+                assert not np.array_equal(ball[:, i], ball[:, j]), (
+                    f"shards {i} and {j} identical: seed fold broken"
+                )
+
+
 class TestShardedFused:
     def test_sharded_replay_matches_unsharded(self, setup):
         """The replay kernel under shard_map over the 8-device 'env' mesh
