@@ -83,24 +83,66 @@ def a2c_loss(
     }
 
 
+def a2c_loss_fm(
+    params, model: ActorCritic, obs_fm: jax.Array, dirs: jax.Array,
+    acts: jax.Array, adv: jax.Array, returns: jax.Array, cfg: A2CConfig,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """:func:`a2c_loss` on a FEATURE-MAJOR [F, N] obs matrix — the fused
+    collect kernel's native buffer layout (VERDICT r3 item 6a: A2C's
+    full-batch update reads it directly, no transpose). Same math via
+    ppo._forward_fm / _logp_entropy_rows (both certified against the
+    row-major twins in tests/test_ppo.py)."""
+    from .ppo import _forward_fm, _logp_entropy_rows
+
+    logit_rows, value = _forward_fm(params, model, obs_fm)
+    logp, entropy = _logp_entropy_rows(logit_rows, dirs, acts)
+    pg_loss = -(jax.lax.stop_gradient(adv) * logp).mean()
+    v_loss = 0.5 * ((value - returns) ** 2).mean()
+    ent = entropy.mean()
+    total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+    return total, {
+        "loss": total,
+        "pg_loss": pg_loss,
+        "v_loss": v_loss,
+        "entropy": ent,
+    }
+
+
 def train_iteration(
     runner: RunnerState, model: ActorCritic, env_params: EnvParams,
-    cfg: A2CConfig, tx, axis_name: str | None = None,
+    cfg: A2CConfig, tx, axis_name: str | None = None, collect_fn=None,
 ) -> tuple[RunnerState, dict[str, jax.Array]]:
     """One A2C iteration: rollout -> advantages -> one gradient step.
 
     Pure and jittable; drop-in signature-compatible with
     :func:`gym_futbol_tpu.ppo.train_iteration` so the sharding layer and
-    the training CLI treat both algorithms uniformly.
+    the training CLI treat both algorithms uniformly. ``collect_fn``
+    defaults to the jnp :func:`gym_futbol_tpu.ppo.collect_rollout`; pass
+    ``ppo.collect_rollout_fused`` to collect on the Pallas kernel (TPU) —
+    the update then consumes the kernel's feature-major buffer in place.
     """
-    runner, traj, last_value = collect_rollout(runner, model, env_params, cfg)
+    collect_fn = collect_fn or collect_rollout
+    runner, traj, last_value = collect_fn(runner, model, env_params, cfg)
     adv, returns = compute_gae(traj, last_value, cfg)
 
     n = traj.reward.shape[0] * traj.reward.shape[1]
-    flat = jax.tree.map(lambda x: x.reshape((n,) + x.shape[2:]), traj)
-    grads, metrics = jax.grad(a2c_loss, has_aux=True)(
-        runner.params, model, flat, adv.reshape(n), returns.reshape(n), cfg
-    )
+    if traj.obs.ndim == 2:
+        # fused-collect trajectory: obs is the feature-major [F, N]
+        # matrix with samples ordered (view, step, env); flatten the
+        # [T, 2B] fields to match that column order
+        from .ppo import _flatten_tm
+
+        grads, metrics = jax.grad(a2c_loss_fm, has_aux=True)(
+            runner.params, model, traj.obs, _flatten_tm(traj.dirs),
+            _flatten_tm(traj.acts), _flatten_tm(adv),
+            _flatten_tm(returns), cfg,
+        )
+    else:
+        flat = jax.tree.map(lambda x: x.reshape((n,) + x.shape[2:]), traj)
+        grads, metrics = jax.grad(a2c_loss, has_aux=True)(
+            runner.params, model, flat, adv.reshape(n), returns.reshape(n),
+            cfg,
+        )
     if axis_name is not None:
         grads = jax.lax.pmean(grads, axis_name)
         metrics = jax.lax.pmean(metrics, axis_name)
@@ -300,6 +342,7 @@ __all__ = [
     "RecurrentRunnerState",
     "RunnerState",
     "a2c_loss",
+    "a2c_loss_fm",
     "collect_recurrent_rollout",
     "init_recurrent_runner",
     "init_runner",

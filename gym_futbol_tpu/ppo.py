@@ -96,6 +96,13 @@ class Transition:
     value: jax.Array      # [B]
     reward: jax.Array     # [B]
     done: jax.Array       # [B]
+    # FROZEN observation-normalization stats (wrappers.RunningNorm) the
+    # policy acted through during a normalized FUSED collect — the update
+    # must fold the SAME stats into the first layer (fold_obs_norm) so
+    # the recomputed log-probs match the behavior policy exactly. None on
+    # every un-normalized / jnp path (the jnp path stores normalized obs
+    # directly instead).
+    norm: Any = None
 
 
 @struct.dataclass
@@ -273,9 +280,50 @@ def make_normalized_collect(
     return collect
 
 
+def _obs_norm_scales(obs_norm, eps: float = 1e-8):
+    """(mean, inv_std) of a wrappers.RunningNorm — the affine map
+    z = (x - mean) * inv_std that fold_obs_norm bakes into weights.
+    NOTE: the folded path applies no +-10 z-clip (RunningNorm.normalize
+    does); the env's observations are bounded by construction
+    (positions/velocities normalized, flags 0/1), so the clip never
+    binds once the variance floor has a few batches behind it."""
+    return obs_norm.mean, jax.lax.rsqrt(obs_norm.var + eps)
+
+
+def fold_obs_norm(w: tuple, mean: jax.Array, inv_std: jax.Array) -> tuple:
+    """Fold frozen z-score stats into the FIRST layer of a flat
+    kernel-order weight tuple (ops.fused_collect.flatten_actor_critic
+    layout: W [in, out], b [out, 1]).
+
+    ``W1' = diag(inv_std) W1,  b1' = b1 - W1'^T mean`` makes the network
+    applied to RAW observations compute exactly the original network
+    applied to z-scored observations — so the fused collect/update
+    kernels, which build raw obs in-kernel / read the raw buffer, train
+    THROUGH observation normalization with zero kernel changes and zero
+    runtime cost (VERDICT r3 item 6b)."""
+    w0, b0 = w[0], w[1]
+    w0f = w0 * inv_std[:, None]
+    b0f = b0 - (w0f * mean[:, None]).sum(axis=0)[:, None]
+    return (w0f, b0f, *w[2:])
+
+
+def unfold_obs_norm_grads(
+    g: tuple, mean: jax.Array, inv_std: jax.Array
+) -> tuple:
+    """Chain rule back through :func:`fold_obs_norm`: gradients w.r.t.
+    the folded (W1', b1') -> gradients w.r.t. the normalized-space
+    (W1, b1). dW1 = diag(inv_std) (dW1' - mean dB1'^T), db1 = db1'.
+    Exact (certified vs jax.grad in tests/test_ppo.py)."""
+    g0, gb0 = g[0], g[1]
+    g0_raw = inv_std[:, None] * (g0 - mean[:, None] * gb0.reshape(1, -1))
+    return (g0_raw, gb0, *g[2:])
+
+
 def collect_rollout_fused(
     runner: RunnerState, model: ActorCritic, env_params: EnvParams,
     cfg: PPOConfig, block: int | None = None,
+    normalize_obs: bool = False, normalize_reward: bool = False,
+    axis_name: str | None = None,
 ) -> tuple[RunnerState, Transition, jax.Array]:
     """Drop-in for :func:`collect_rollout` on the Pallas fused-collect
     kernel (ops/fused_collect.py): BOTH views' per-team policy forward
@@ -288,6 +336,14 @@ def collect_rollout_fused(
     (core PRNG vs jax.random) — same distribution, and logp/value are the
     kernel's own outputs for its own actions, so the on-policy contract
     holds (certified by parity/check_fused_collect.py).
+
+    ``normalize_obs``/``normalize_reward`` give this path VecNormalize
+    semantics WITHOUT kernel changes (VERDICT r3 item 6b): lagged z-score
+    stats are folded into the first Dense layer (:func:`fold_obs_norm` —
+    exact), stats update once per iteration from the emitted feature-major
+    buffer, rewards are scaled by a post-hoc scan identical to the
+    in-loop jnp sequence, and ``traj.norm`` carries the frozen stats for
+    :func:`update_epochs_fused` to fold the same way.
     """
     from . import env as env_core
     from .ops import pack_state, unpack_state
@@ -297,6 +353,21 @@ def collect_rollout_fused(
         "self-play PPO trains a per-team policy (see collect_rollout)"
     )
     w = flatten_actor_critic(runner.params, model)
+    frozen_norm = None
+    if normalize_obs:
+        assert runner.obs_norm is not None, (
+            "init_runner(..., normalize_obs=True) required"
+        )
+        # LAGGED stats (updated at the end of the previous iteration)
+        # bake into the first layer; the same frozen stats ride the
+        # trajectory (traj.norm) so the update recomputes the identical
+        # behavior policy.
+        frozen_norm = runner.obs_norm
+        w = fold_obs_norm(w, *_obs_norm_scales(frozen_norm))
+    if normalize_reward:
+        assert runner.rew_norm is not None, (
+            "init_runner(..., normalize_reward=True) required"
+        )
     sf, si = pack_state(runner.env_state, env_params)
     if block is None:
         # The kernel streams all per-step trajectory rows to HBM, so VMEM
@@ -335,11 +406,66 @@ def collect_rollout_fused(
         value=value.reshape(t, 2 * b),
         reward=reward.reshape(t, 2 * b),
         done=done.reshape(t, 2 * b).astype(bool),
+        norm=frozen_norm,
     )
+    obs_norm, rew_norm = runner.obs_norm, runner.rew_norm
+    if normalize_obs:
+        # fold the RAW buffer's moments into the running stats for the
+        # NEXT iteration — one feature-major pass over the [F_pad, N]
+        # matrix, never transposed (pad rows excluded). n_feat counts the
+        # real obs rows; obs.shape[1] is F_pad.
+        n_feat = env_core.obs_size(env_params)
+        rows = traj.obs[:n_feat]
+        obs_norm = obs_norm.update_moments(
+            rows.mean(axis=1), rows.var(axis=1),
+            jnp.asarray(rows.shape[1], rows.dtype), axis_name=axis_name,
+        )
+    if normalize_reward:
+        rew_norm, scaled = posthoc_reward_norm(
+            rew_norm, traj.reward, traj.done, cfg.gamma, axis_name
+        )
+        traj = traj.replace(reward=scaled)
     env_state = unpack_state(sf, si, k_state, env_params)
     new_obs = jax.vmap(lambda s: env_core.observe(s, env_params))(env_state)
-    runner = runner.replace(env_state=env_state, obs=new_obs, key=key)
+    runner = runner.replace(
+        env_state=env_state, obs=new_obs, key=key, obs_norm=obs_norm,
+        rew_norm=rew_norm,
+    )
     return runner, traj, last_v.reshape(2 * b)
+
+
+def posthoc_reward_norm(
+    rew_norm, reward: jax.Array, done: jax.Array, gamma: float,
+    axis_name: str | None = None,
+):
+    """VecNormalize reward scaling applied AFTER a fused collect, over the
+    emitted [T, 2B] buffers: a scan replaying the IDENTICAL per-step
+    update/scale sequence the in-loop jnp path (make_normalized_collect)
+    applies — stats follow the team-0 rows, both views scaled with the
+    stats-through-step-t (equivalence certified by tests/test_ppo.py).
+    Returns (updated RewardNorm, scaled rewards [T, 2B])."""
+    b = reward.shape[1] // 2
+
+    def rn_step(rn, rd):
+        r, d = rd
+        rn = rn.update(r[:b], d[:b], gamma, axis_name=axis_name)
+        return rn, jnp.concatenate([rn.normalize(r[:b]), rn.normalize(r[b:])])
+
+    return jax.lax.scan(rn_step, rew_norm, (reward, done))
+
+
+def make_fused_normalized_collect(
+    normalize_obs: bool = True, normalize_reward: bool = True,
+    axis_name: str | None = None, block: int | None = None,
+):
+    """VecNormalize-through-the-Pallas-kernels collect factory — the
+    fused twin of :func:`make_normalized_collect`. Returns a drop-in for
+    :func:`collect_rollout_fused`; pair with :func:`update_epochs_fused`
+    (which reads ``traj.norm``)."""
+    return partial(
+        collect_rollout_fused, block=block, normalize_obs=normalize_obs,
+        normalize_reward=normalize_reward, axis_name=axis_name,
+    )
 
 
 def compute_gae(
@@ -531,6 +657,11 @@ def update_epochs(
     pmean'd across that mesh axis — the one collective on the training
     path (SURVEY.md §2.3).
     """
+    assert traj.norm is None, (
+        "a normalized FUSED trajectory (traj.norm set, raw obs buffer) "
+        "must be consumed by update_epochs_fused, which folds the frozen "
+        "stats into the weights; this XLA path would train on raw obs"
+    )
     t, b2 = traj.reward.shape
     n = t * b2
     obs_fm = traj.obs if traj.obs.ndim == 2 else _obs_to_fm(traj.obs)
@@ -634,6 +765,15 @@ def update_epochs_fused(
             for k, v in flat.items()}
     mb_blocks = n_blocks // cfg.minibatches
     n_torso = len(model.hidden)
+    # Normalized fused collect: the obs buffer is RAW; fold the SAME
+    # frozen stats the behavior policy acted through into the first
+    # layer for every forward/backward, and chain the gradient back
+    # (exact — see fold_obs_norm). The [F_pad] pad rows of the buffer
+    # are zero and the folded pad weights are zero, so padding inside
+    # fused_minibatch_grad stays exact.
+    norm_scales = (
+        _obs_norm_scales(traj.norm) if traj.norm is not None else None
+    )
 
     def epoch(carry, k):
         params, opt_state = carry
@@ -644,6 +784,8 @@ def update_epochs_fused(
             adv_mb = jnp.take(flat["adv"], idx, axis=0)
             adv_n = (adv_mb - adv_mb.mean()) / (adv_mb.std() + 1e-8)
             w = flatten_actor_critic(params, model)
+            if norm_scales is not None:
+                w = fold_obs_norm(w, *norm_scales)
             kw = {} if compute_dtype is None else {
                 "compute_dtype": compute_dtype
             }
@@ -654,6 +796,8 @@ def update_epochs_fused(
                 vf_coef=cfg.vf_coef, ent_coef=cfg.ent_coef, block=block,
                 interpret=interpret, **kw,
             )
+            if norm_scales is not None:
+                grads_flat = unfold_obs_norm_grads(grads_flat, *norm_scales)
             grads = unflatten_actor_critic(grads_flat, model)
             inv_m = 1.0 / (mb_blocks * block)
             metrics = {k: v * inv_m for k, v in msums.items()}

@@ -102,8 +102,23 @@ def main() -> None:
         cfg = a2c.A2CConfig(rollout_steps=args.rollout_steps, lr=args.lr)
         tx = a2c.make_optimizer(cfg)
         if args.recurrent:
+            if args.fused_collect:
+                raise SystemExit(
+                    "--recurrent collects with the LSTM carry threaded "
+                    "through the rollout scan; the stateless fused-collect "
+                    "kernel has no recurrent cell (documented descope, "
+                    "DESIGN.md §4)"
+                )
             iteration_fn = a2c.train_iteration_recurrent
             runner_specs = a2c.recurrent_runner_specs()
+        elif args.fused_collect:
+            import functools
+
+            from .ppo import collect_rollout_fused
+
+            iteration_fn = functools.partial(
+                a2c.train_iteration, collect_fn=collect_rollout_fused
+            )
         else:
             iteration_fn = a2c.train_iteration
     else:
@@ -119,17 +134,28 @@ def main() -> None:
         from .ppo import train_iteration as iteration_fn
 
         normalizing = args.normalize_obs or args.normalize_reward
-        if normalizing and args.fused_collect:
+        if normalizing and args.fused_collect and args.no_fused_update:
             raise SystemExit(
-                "--normalize-obs/--normalize-reward run on the jnp "
-                "collect path (the fused kernel computes raw obs "
-                "in-kernel); drop --fused-collect"
+                "normalized fused training folds the frozen stats inside "
+                "the fused-update kernel path; drop --no-fused-update"
             )
         if args.fused_collect or normalizing:
             import functools
 
-            if normalizing:
-                from .parallel.mesh import ENV_AXIS
+            from .parallel.mesh import ENV_AXIS
+
+            if normalizing and args.fused_collect:
+                # VecNormalize THROUGH the Pallas kernels: stats folded
+                # into the first layer, updated once per iteration from
+                # the emitted buffer (ppo.make_fused_normalized_collect)
+                from .ppo import make_fused_normalized_collect
+
+                collect_fn = make_fused_normalized_collect(
+                    normalize_obs=args.normalize_obs,
+                    normalize_reward=args.normalize_reward,
+                    axis_name=ENV_AXIS,
+                )
+            elif normalizing:
                 from .ppo import make_normalized_collect
 
                 collect_fn = make_normalized_collect(

@@ -98,16 +98,26 @@ class RunningNorm:
         training uses one consistent normalizer instead of per-shard
         statistics drifting apart.
         """
-        b_mean = obs.mean(axis=0)
-        b_var = obs.var(axis=0)
-        b_count = jnp.asarray(obs.shape[0], obs.dtype)
+        return self.update_moments(
+            obs.mean(axis=0), obs.var(axis=0),
+            jnp.asarray(obs.shape[0], obs.dtype), axis_name=axis_name,
+        )
+
+    def update_moments(
+        self, b_mean: jax.Array, b_var: jax.Array, b_count: jax.Array,
+        axis_name: str | None = None,
+    ) -> "RunningNorm":
+        """Merge pre-computed batch moments (mean/var [obs_dim], count
+        []). Lets feature-major consumers (the fused-collect [F, N]
+        trajectory buffer) update the normalizer without ever
+        materializing a row-major copy."""
         if axis_name is not None:
             g_mean = jax.lax.pmean(b_mean, axis_name)
             g_sq = jax.lax.pmean(b_var + b_mean**2, axis_name)
             b_var = g_sq - g_mean**2
             b_mean = g_mean
             b_count = b_count * jax.lax.psum(
-                jnp.asarray(1, obs.dtype), axis_name
+                jnp.asarray(1, b_count.dtype), axis_name
             )
         delta = b_mean - self.mean
         tot = self.count + b_count

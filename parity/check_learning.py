@@ -18,10 +18,21 @@ r2 item 2): the gate now
 - writes per-iteration learning curves to
   ``parity/artifacts/learning_curve_seed{K}.jsonl``.
 
+Round-4 hardening (VERDICT r3 items 1-2): the gate is parameterized over
+team size (``--ppt``) so the SAME end-to-end certification — fused
+collect + fused update training, fused-evaluator win gate, monotonicity,
+committed curves — runs at the flagship BASELINE config scales:
+``--ppt 3`` trains at 16384 envs (config 4) and ``--ppt 5`` at 65536
+envs (config 5). And after all seeds train, a trained-vs-trained
+cross-seed ROUND-ROBIN runs on the fused evaluator (league table in the
+output JSON and ``parity/artifacts/league_ppt{P}.json``) — evidence the
+seeds learned comparable, non-degenerate play, not just
+anything-beats-random.
+
 Hyperparameters (lr anneal to 0, ent_coef) are recorded in the output
 JSON; tuning history lives in BASELINE.md.
 
-Run (TPU):  python parity/check_learning.py
+Run (TPU):  python parity/check_learning.py [--ppt {2,3,5}]
 Options:    --seeds N --iters N --envs B --win-threshold W --jnp-collect
 """
 
@@ -83,11 +94,23 @@ def train_one_seed(seed, args, env_params, cfg, model, tx, step_fn):
     return runner.params, params_third, curve
 
 
+# Per-team-size defaults: env counts are the BASELINE config scales
+# (§ eval configs 3-5); iteration budgets recorded in BASELINE.md tuning
+# history.
+PPT_DEFAULTS = {
+    2: {"envs": 8192, "iters": 500},
+    3: {"envs": 16384, "iters": 500},   # BASELINE config 4 scale
+    5: {"envs": 65536, "iters": 500},   # BASELINE config 5 scale
+}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--ppt", type=int, default=2,
+                    help="players per team (2/3/5 have tuned defaults)")
     ap.add_argument("--seeds", type=int, default=3)
-    ap.add_argument("--iters", type=int, default=500)
-    ap.add_argument("--envs", type=int, default=8192)
+    ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--envs", type=int, default=None)
     ap.add_argument("--rollout-steps", type=int, default=128)
     ap.add_argument("--hidden", type=int, nargs="+", default=[128, 128])
     ap.add_argument("--lr", type=float, default=3e-4)
@@ -101,10 +124,18 @@ def main() -> int:
     ap.add_argument("--jnp-eval", action="store_true",
                     help="evaluate on the jnp joint-policy path instead "
                          "of the fused kernel (e.g. on CPU)")
+    ap.add_argument("--no-league", action="store_true",
+                    help="skip the trained-vs-trained round-robin")
     ap.add_argument("--log-every", type=int, default=10)
     args = ap.parse_args()
 
-    env_params = EnvParams(players_per_team=2)
+    defaults = PPT_DEFAULTS.get(args.ppt, PPT_DEFAULTS[2])
+    if args.envs is None:
+        args.envs = defaults["envs"]
+    if args.iters is None:
+        args.iters = defaults["iters"]
+
+    env_params = EnvParams(players_per_team=args.ppt)
     cfg = PPOConfig(
         rollout_steps=args.rollout_steps, lr=args.lr, ent_coef=args.ent_coef,
     )
@@ -140,13 +171,16 @@ def main() -> int:
     os.makedirs(ART_DIR, exist_ok=True)
     t0 = time.perf_counter()
     results = []
+    final_params = []
     for k in range(args.seeds):
         seed = args.seed + 1000 * k
         params, params_third, curve = train_one_seed(
             seed, args, env_params, cfg, model, tx, step_fn
         )
+        final_params.append(params)
         with open(os.path.join(
-                ART_DIR, f"learning_curve_seed{k}.jsonl"), "w") as f:
+                ART_DIR,
+                f"learning_curve_ppt{args.ppt}_seed{k}.jsonl"), "w") as f:
             for rec in curve:
                 f.write(json.dumps(rec) + "\n")
 
@@ -200,6 +234,52 @@ def main() -> int:
         print(f"# seed {seed}: {json.dumps(rec)}", flush=True)
 
     train_s = time.perf_counter() - t0
+
+    # Trained-vs-trained cross-seed round-robin (VERDICT r3 item 2): at
+    # 43M steps/s on the fused evaluator a full league is ~seconds. Each
+    # ordered pair plays once (seed i as team 0 vs seed j as team 1), so
+    # side effects cancel over the table.
+    league = None
+    if args.seeds > 1 and not args.no_league:
+        league = {"pairs": [], "points": [0.0] * args.seeds}
+        for i in range(args.seeds):
+            for j in range(args.seeds):
+                if i == j:
+                    continue
+                if args.jnp_eval:
+                    res = evaluate(
+                        env_params,
+                        policy_a=make_policy_fn(model, final_params[i]),
+                        policy_b=make_policy_fn(model, final_params[j]),
+                        n_envs=args.eval_envs,
+                        n_steps=env_params.max_steps,
+                        seed=9000 + 17 * i + j,
+                    )
+                else:
+                    res = evaluate_fused(
+                        env_params,
+                        actor_critic_policy_weights(final_params[i], model),
+                        actor_critic_policy_weights(final_params[j], model),
+                        n_envs=args.eval_envs,
+                        n_steps=env_params.max_steps,
+                        seed=9000 + 17 * i + j,
+                    )
+                wa, wb = float(res["win_rate_a"]), float(res["win_rate_b"])
+                dr = float(res["draw_rate"])
+                league["pairs"].append({
+                    "a": i, "b": j, "win_a": round(wa, 4),
+                    "win_b": round(wb, 4), "draw": round(dr, 4),
+                })
+                league["points"][i] += wa + 0.5 * dr
+                league["points"][j] += wb + 0.5 * dr
+                print(f"# league: seed{i} vs seed{j}: "
+                      f"{wa:.3f}/{dr:.3f}/{wb:.3f}", flush=True)
+        games = 2 * (args.seeds - 1)
+        league["points"] = [round(p / games, 4) for p in league["points"]]
+        with open(os.path.join(
+                ART_DIR, f"league_ppt{args.ppt}.json"), "w") as f:
+            json.dump(league, f, indent=1)
+
     wins = [r["win_rate_vs_random"] for r in results]
     mean_win = sum(wins) / len(wins)
     ok = mean_win >= args.win_threshold
@@ -207,6 +287,7 @@ def main() -> int:
     ok &= all(r.get("fused_jnp_consistent", True) for r in results)
     print(json.dumps({
         "metric": "trained_vs_random_win_rate_mean",
+        "ppt": args.ppt,
         "value": round(mean_win, 4),
         "unit": (f"mean win rate over {args.seeds} seeds x "
                  f"{args.eval_envs} matches"),
@@ -214,6 +295,7 @@ def main() -> int:
         "ok": ok,
         "per_seed": wins,
         "monotonic_all": all(r["monotonic"] for r in results),
+        "league_points": league["points"] if league else None,
         "train_env_steps_per_seed": args.iters * args.envs
         * cfg.rollout_steps,
         "train_seconds_total": round(train_s, 1),

@@ -87,20 +87,25 @@ def main() -> int:
     ap.add_argument("--with-learning", action="store_true",
                     help="also run check_learning.py (trained-vs-random "
                          "win gate) in the TPU lane")
+    ap.add_argument("--learning-ppt", type=int, default=2,
+                    help="team size for the learning gate (2/3/5; 3 and "
+                         "5 run at the BASELINE config-4/5 scales)")
     ap.add_argument("--timeout", type=int, default=1800,
                     help="per-gate timeout (first TPU compile is slow)")
     args = ap.parse_args()
 
     t_start = time.perf_counter()
-    tpu_gates = list(TPU_GATES)
+    tpu_gates = [(s, None) for s in TPU_GATES]
     if args.with_perf:
-        tpu_gates.append("check_perf.py")
+        tpu_gates.append(("check_perf.py", None))
     if args.with_learning:
-        tpu_gates.append("check_learning.py")
+        tpu_gates.append(
+            ("check_learning.py", ["--ppt", str(args.learning_ppt)])
+        )
 
     def tpu_lane() -> list[dict]:
-        return [run_gate(s, cpu=False, timeout=args.timeout)
-                for s in tpu_gates]
+        return [run_gate(s, cpu=False, timeout=args.timeout, extra_args=a)
+                for s, a in tpu_gates]
 
     results: list[dict] = []
     with ThreadPoolExecutor(max_workers=len(CPU_GATES) + 1) as ex:

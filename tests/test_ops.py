@@ -472,3 +472,97 @@ class TestFusedUpdate:
                                        rtol=5e-3, atol=5e-5)
         np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                    rtol=5e-3, atol=1e-5)
+
+
+class TestNormalizedFusedUpdate:
+    """VecNormalize through the fused update (VERDICT r3 item 6b): a raw
+    obs buffer + frozen stats on traj.norm must train identically to the
+    same buffer pre-z-scored with those stats and no folding."""
+
+    def test_folded_matches_prenormalized(self, key):
+        from gym_futbol_tpu.models.policy import ActorCritic, init_params
+        from gym_futbol_tpu.ppo import (
+            PPOConfig, Transition, compute_gae, make_optimizer,
+            update_epochs_fused,
+        )
+        from gym_futbol_tpu.wrappers import RunningNorm
+
+        env_p = EnvParams(players_per_team=2)
+        cfg = PPOConfig(rollout_steps=2, epochs=2, minibatches=2,
+                        shuffle_block=128, remat=False)
+        model = ActorCritic(n_players=env_p.players_per_team, hidden=(16,))
+        params = init_params(key, model, env_p)
+        tx = make_optimizer(cfg)
+        opt_state = tx.init(params)
+        t, b2 = cfg.rollout_steps, 2 * 128
+        f = 4 * env_p.n_bodies + 2
+        f_pad = -(-f // 8) * 8
+        ks = jax.random.split(key, 9)
+        obs_raw = jax.random.normal(ks[0], (f_pad, t * b2)) * 2.0 + 1.0
+        # fused-collect contract: pad rows are zero
+        obs_raw = obs_raw.at[f:].set(0.0)
+        norm = RunningNorm.init(f).update(
+            jax.random.normal(ks[8], (64, f)) * 1.7 + 0.3
+        )
+        common = dict(
+            dirs=(jax.random.randint(ks[1], (t, b2), 0, 5, jnp.int32)
+                  | (jax.random.randint(ks[7], (t, b2), 0, 5, jnp.int32)
+                     << 3)),
+            acts=(jax.random.randint(ks[2], (t, b2), 0, 5, jnp.int32)
+                  | (jax.random.randint(ks[5], (t, b2), 0, 5, jnp.int32)
+                     << 3)),
+            logp=-jnp.abs(jax.random.normal(ks[3], (t, b2))),
+            value=jax.random.normal(ks[4], (t, b2)),
+            reward=jax.random.normal(ks[5], (t, b2)),
+            done=jnp.zeros((t, b2), bool),
+        )
+        traj_folded = Transition(obs=obs_raw, norm=norm, **common)
+        inv_std = jax.lax.rsqrt(norm.var + 1e-8)
+        z = (obs_raw[:f] - norm.mean[:, None]) * inv_std[:, None]
+        obs_z = jnp.concatenate([z, obs_raw[f:]], axis=0)
+        traj_pre = Transition(obs=obs_z, **common)
+
+        adv, ret = compute_gae(traj_pre, jnp.zeros(b2), cfg)
+        p1, _, m1 = update_epochs_fused(
+            params, opt_state, traj_folded, adv, ret, ks[6], model, tx,
+            cfg, interpret=True, compute_dtype=jnp.float32,
+        )
+        p2, _, m2 = update_epochs_fused(
+            params, opt_state, traj_pre, adv, ret, ks[6], model, tx,
+            cfg, interpret=True, compute_dtype=jnp.float32,
+        )
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_xla_update_rejects_normalized_fused_traj(self, key):
+        import pytest
+
+        from gym_futbol_tpu.models.policy import ActorCritic, init_params
+        from gym_futbol_tpu.ppo import (
+            PPOConfig, Transition, make_optimizer, update_epochs,
+        )
+        from gym_futbol_tpu.wrappers import RunningNorm
+
+        env_p = EnvParams(players_per_team=2)
+        cfg = PPOConfig(rollout_steps=1, epochs=1, minibatches=1,
+                        shuffle_block=1)
+        model = ActorCritic(n_players=env_p.players_per_team, hidden=(8,))
+        params = init_params(key, model, env_p)
+        tx = make_optimizer(cfg)
+        f = 4 * env_p.n_bodies + 2
+        t, b2 = 1, 2
+        traj = Transition(
+            obs=jnp.zeros((f, t * b2)), norm=RunningNorm.init(f),
+            dirs=jnp.zeros((t, b2), jnp.int32),
+            acts=jnp.zeros((t, b2), jnp.int32),
+            logp=jnp.zeros((t, b2)), value=jnp.zeros((t, b2)),
+            reward=jnp.zeros((t, b2)), done=jnp.zeros((t, b2), bool),
+        )
+        with pytest.raises(AssertionError, match="update_epochs_fused"):
+            update_epochs(
+                params, tx.init(params), traj, jnp.zeros((t, b2)),
+                jnp.zeros((t, b2)), key, model, tx, cfg,
+            )

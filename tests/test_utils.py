@@ -69,3 +69,97 @@ class TestProfiling:
     def test_cost_analysis_has_flops(self):
         out = cost_analysis(lambda a: a @ a, jnp.ones((64, 64)))
         assert isinstance(out, dict)
+
+
+class TestCheckpointFidelity:
+    """Resume fidelity (VERDICT r3 item 7): a run interrupted MID-EPISODE
+    and restored from checkpoint must continue BITWISE identically to the
+    uninterrupted run — including VecNormalize stats and the recurrent
+    carry — proving the 'resumes mid-episode' claim of
+    utils/checkpoint.py, not just the array round-trip."""
+
+    def _bitwise_equal(self, a, b):
+        jax.tree.map(
+            lambda x, y: np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y)
+            ),
+            a, b,
+        )
+
+    def test_ppo_normalized_resume_bitwise(self, key, tmp_path):
+        from gym_futbol_tpu.ppo import (
+            make_normalized_collect, train_iteration,
+        )
+
+        p = EnvParams(players_per_team=1, max_steps=9)  # 9 > 2*4 steps:
+        # episodes straddle the checkpoint boundary (mid-episode resume)
+        cfg = PPOConfig(rollout_steps=4, minibatches=2, epochs=1)
+        model = ActorCritic(n_players=p.players_per_team, hidden=(16,))
+        tx = make_optimizer(cfg)
+        runner = init_runner(key, model, p, cfg, n_envs=4, tx=tx,
+                             normalize_obs=True, normalize_reward=True)
+        step = jax.jit(lambda r: train_iteration(
+            r, model, p, cfg, tx,
+            collect_fn=make_normalized_collect(),
+        ))
+
+        # uninterrupted: 3 iterations
+        r_ref = runner
+        for _ in range(3):
+            r_ref, _ = step(r_ref)
+
+        # interrupted: 2 iterations, checkpoint, restore, 1 more
+        r_a = runner
+        for _ in range(2):
+            r_a, _ = step(r_a)
+        assert int(jax.device_get(r_a.env_state.t).max()) not in (0,), (
+            "test must checkpoint mid-episode"
+        )
+        ck = Checkpointer(str(tmp_path / "ppo"))
+        ck.save(r_a, step=2)
+        ck.wait()
+        restored, it = ck.restore_latest(r_a)
+        assert it == 2
+        self._bitwise_equal(r_a, restored)
+        r_b, _ = step(restored)
+        r_ref_like = jax.device_get(r_ref)
+        self._bitwise_equal(jax.device_get(r_b), r_ref_like)
+
+    def test_recurrent_resume_bitwise(self, key, tmp_path):
+        from gym_futbol_tpu import a2c
+        from gym_futbol_tpu.models.recurrent import RecurrentActorCritic
+
+        p = EnvParams(players_per_team=1, max_steps=7)
+        cfg = a2c.A2CConfig(rollout_steps=3)
+        model = RecurrentActorCritic(
+            n_players=p.players_per_team, hidden=(16,), lstm_size=8
+        )
+        tx = a2c.make_optimizer(cfg)
+        runner = a2c.init_recurrent_runner(
+            key, model, p, cfg, n_envs=4, tx=tx
+        )
+        step = jax.jit(lambda r: a2c.train_iteration_recurrent(
+            r, model, p, cfg, tx
+        ))
+
+        r_ref = runner
+        for _ in range(3):
+            r_ref, _ = step(r_ref)
+
+        r_a = runner
+        for _ in range(2):
+            r_a, _ = step(r_a)
+        # the LSTM carry is live state: assert it is nonzero somewhere so
+        # the bitwise check below is meaningful
+        assert any(
+            float(jnp.abs(c).max()) > 0
+            for c in jax.tree.leaves(r_a.carry)
+        )
+        ck = Checkpointer(str(tmp_path / "rec"))
+        ck.save(r_a, step=2)
+        ck.wait()
+        restored, it = ck.restore_latest(r_a)
+        assert it == 2
+        self._bitwise_equal(r_a, restored)
+        r_b, _ = step(restored)
+        self._bitwise_equal(jax.device_get(r_b), jax.device_get(r_ref))
