@@ -352,3 +352,53 @@ class TestObsNormFolding:
                                    rtol=1e-6)
         np.testing.assert_allclose(np.asarray(a.var), np.asarray(b.var),
                                    rtol=1e-6)
+
+
+class TestShuffleBlockFallback:
+    def test_degrades_to_largest_divisor(self):
+        """ADVICE r3 item 2: a buffer divisible by 128 but not by
+        shuffle_block must degrade to a chunky divisor, not to block=1."""
+        from gym_futbol_tpu.ppo import _shuffle_block_for
+
+        cfg = PPOConfig(shuffle_block=1024, minibatches=4)
+        assert _shuffle_block_for(8192, cfg) == 1024
+        # 3 * 1024 samples, 4 minibatches -> <=768 per block; 768 divides
+        assert _shuffle_block_for(3072, cfg) == 768
+        # divisible by 128, not 1024 -> 128-aligned divisor, never 1
+        got = _shuffle_block_for(128 * 5, cfg)
+        assert got > 1 and (128 * 5) % got == 0
+        # tiny pathological buffer still yields valid minibatches
+        assert _shuffle_block_for(7, cfg) == 1
+
+    def test_update_epochs_on_odd_buffer(self, key):
+        """update_epochs stays correct (non-empty minibatches, finite
+        loss) on a buffer that triggers the degraded block size."""
+        from gym_futbol_tpu.models.policy import init_params
+
+        p = EnvParams(players_per_team=1)
+        cfg = PPOConfig(rollout_steps=3, epochs=1, minibatches=2,
+                        shuffle_block=1024, remat=False)
+        model = ActorCritic(n_players=1, hidden=(8,))
+        params = init_params(key, model, p)
+        tx = make_optimizer(cfg)
+        t, b2 = 3, 2 * 128   # n = 768: not divisible by 1024
+        f = 4 * p.n_bodies + 2
+        ks = jax.random.split(key, 6)
+        traj = Transition(
+            obs=jax.random.normal(ks[0], (t, b2, f)),
+            dirs=jax.random.randint(ks[1], (t, b2), 0, 5, jnp.int32),
+            acts=jax.random.randint(ks[2], (t, b2), 0, 5, jnp.int32),
+            logp=-jnp.abs(jax.random.normal(ks[3], (t, b2))),
+            value=jax.random.normal(ks[4], (t, b2)),
+            reward=jax.random.normal(ks[5], (t, b2)),
+            done=jnp.zeros((t, b2), bool),
+        )
+        adv, ret = compute_gae(traj, jnp.zeros(b2), cfg)
+        p2, _, m = update_epochs(
+            params, tx.init(params), traj, adv, ret, key, model, tx, cfg
+        )
+        assert np.isfinite(float(m["loss"]))
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2))
+        )
