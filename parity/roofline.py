@@ -58,28 +58,28 @@ def flops_per_env_step(params: EnvParams, n_envs: int = 4096) -> float:
     ca = compiled.cost_analysis()
     if isinstance(ca, list):  # older jax returns [dict]
         ca = ca[0]
-    return float(ca["flops"]) / n_envs
+    return (float(ca["flops"]) / n_envs,
+            float(ca.get("transcendentals", 0.0)) / n_envs)
 
 
 def measured_vpu_peak(
-    n_rows: int = 512, depth: int = 256, iters: int = 30
+    n_rows: int = 4096, depth: int = 4096, iters: int = 20
 ) -> float:
-    """f32 FMA chain throughput on a [n_rows, 128] resident tile stack:
-    2 flops per element per chain link. XLA keeps the chain in registers/
-    VMEM (one small input, one output), so this measures VPU issue rate,
-    not HBM."""
+    """f32 FMA chain throughput on a [n_rows, 128] VMEM-resident tile:
+    2 flops per element per chain link, chained depth times INSIDE one
+    program via fori_loop (4.3 GFLOP per dispatch at the defaults — a
+    per-call chain was dispatch-latency-bound through the axon tunnel
+    and read ~1 GFLOP/s). Measures VPU issue rate, not HBM."""
 
     @jax.jit
     def chain(x):
         a = jnp.float32(1.0000001)
         b = jnp.float32(1e-7)
-        for _ in range(depth):
-            x = x * a + b
-        return x
+        return jax.lax.fori_loop(0, depth, lambda i, v: v * a + b, x)
 
     x = jnp.ones((n_rows, 128), jnp.float32)
     # warm up twice (axon re-specializes once post-compile)
-    jax.device_get(chain(chain(x)))
+    jax.device_get(chain(chain(x))[0, 0])
     t0 = time.perf_counter()
     y = x
     for _ in range(iters):
@@ -117,7 +117,7 @@ def main() -> int:
     args = ap.parse_args()
 
     params = EnvParams(players_per_team=2)
-    fpes = flops_per_env_step(params, args.envs)
+    fpes, tpes = flops_per_env_step(params, args.envs)
 
     steps = args.steps_per_sec
     if steps is None:
@@ -149,6 +149,7 @@ def main() -> int:
                 "basis; selects/int ops excluded -> underestimate)",
         "steps_per_sec": steps,
         "flops_per_env_step": round(fpes, 1),
+        "transcendentals_per_env_step": round(tpes, 1),
         "achieved_gflops": round(achieved / 1e9, 1),
         "measured_vpu_peak_gflops": round(vpu / 1e9, 1),
         "measured_hbm_gbs": round(hbm / 1e9, 1),
