@@ -60,11 +60,40 @@ Let ``dt_sub = params.dt / params.substeps``. One ``physics_step`` runs
        djt   = jt' - jt_acc; jt_acc = jt'
        v_a  -= djt * t * inv_m_a ;  v_b += djt * t * inv_m_b
 
-   Inactive contacts contribute exactly zero (masked multiplies — no
-   branches, so the compiled program is identical for every env in the
-   batch). Wall contacts of one wall touch disjoint bodies against a
-   static wall, so they are mathematically order-independent and are
-   applied as one vectorized update per wall.
+   Inactive contacts contribute exactly zero. Wall contacts of one wall
+   touch disjoint bodies against a static wall, so they are
+   mathematically order-independent and are applied as one vectorized
+   update per wall.
+
+   **Hot-form algebra (normative FP association).** The implementation
+   (and the C++ oracle, identically) evaluates the scheme above in an
+   exact-algebra refactoring that removes ~1/3 of the per-iteration VPU
+   ops; same real-arithmetic semantics, and the FLOATING-POINT
+   association below is itself normative (oracle and Pallas kernels
+   mirror it operation-for-operation):
+
+   - ``inv_d = rsqrt(max(d2, 1e-12)); dist = d2 * inv_d`` — one
+     transcendental instead of sqrt + divide (on CPU ``rsqrt`` is
+     bit-identical to ``1/sqrt``, which is what the oracle computes).
+     The degenerate-overlap guard therefore engages at ``dist <= 1e-6``
+     (was 1e-12) — both normals are garbage in that regime and the
+     states never reach it.
+   - *Inactive-contact sentinel*: instead of masking each iteration's
+     impulse by ``active``, inactive contacts precompute their velocity
+     target ``bmv = bounce - v_bias`` as ``+1e20``; then
+     ``jn' = max(jn + -k_n*(vrn + 1e20), 0) = 0`` every iteration and
+     the normal AND friction impulses stay exactly 0 (friction clamps
+     to ``±mu*jn = 0``) with no per-iteration mask multiplies.
+   - *Premultiplied normals*: ``nx*inv_m_a`` etc. are hoisted out of
+     the iteration loop; velocity updates are single multiplies.
+   - ``jn_acc`` is carried as the rename ``jn_acc = jn'`` (not
+     ``jn_acc += dj``); bit-identical for active contacts up to the
+     removed mask multiply.
+   - *Walls in velocity units*: a wall contact has ``k_n = m_i``, so
+     tracking the accumulated impulse as ``jv = jn * inv_m`` (velocity
+     units) cancels both the ``k_n`` multiply and the ``inv_m``
+     multiply: ``jv' = max(jv - (vrn + bmv), 0)``; friction clamp
+     ``|jtv| <= mu * jv`` is the same Coulomb cone in velocity units.
 
 4. **Position integration**: ``x <- x + v * dt_sub``.
 
@@ -100,14 +129,18 @@ def integrate_velocity(
     vel: jax.Array, forces: jax.Array, inv_mass: jax.Array,
     params: EnvParams, dt_sub: float,
 ) -> jax.Array:
-    """Spec item 1. vel/forces [N,2], inv_mass [N]."""
+    """Spec item 1. vel/forces [N,2], inv_mass [N]. Hot-form algebra:
+    ``scale = min(1, max_speed * rsqrt(max(|v|^2, 1e-12)))`` — the oracle
+    mirrors this as ``max_speed * (1.0 / sqrt(...))`` (bit-identical on
+    CPU)."""
     dtype = vel.dtype
     damp = jnp.asarray(params.damping, dtype) ** jnp.asarray(dt_sub, dtype)
     v = vel * damp + forces * inv_mass[:, None] * jnp.asarray(dt_sub, dtype)
-    speed = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    s2 = jnp.sum(v * v, axis=-1, keepdims=True)
     scale = jnp.minimum(
         jnp.asarray(1.0, dtype),
-        jnp.asarray(params.max_speed, dtype) / jnp.maximum(speed, 1e-12),
+        jnp.asarray(params.max_speed, dtype)
+        * jax.lax.rsqrt(jnp.maximum(s2, 1e-12)),
     )
     return v * scale
 
@@ -136,39 +169,47 @@ def _solve_contacts_scalar(
     one = jnp.asarray(1.0, dtype)
     mu = jnp.asarray(params.friction, dtype)
     slop = jnp.asarray(params.collision_slop, dtype)
-    eps = jnp.asarray(1e-12, dtype)
+    eps2 = jnp.asarray(1e-12, dtype)
+    big = jnp.asarray(1e20, dtype)        # inactive-contact sentinel
+    neg_big = jnp.asarray(-1e20, dtype)
     dt_sub = params.dt / params.substeps
     bias_coef = jnp.asarray(params.baumgarte / dt_sub, dtype)
 
-    # ---- circle–circle precompute (per pair scalars) -------------------
-    nx_p, ny_p, act_p, kn_p, bounce_p, vbias_p = [], [], [], [], [], []
+    # ---- circle–circle precompute (per pair scalars; hot-form algebra,
+    # see module docstring spec item 3) --------------------------------
+    nx_p, ny_p = [], []                   # unit normals (for vrn/vrt)
+    nxi_p, nyi_p, nxj_p, nyj_p = [], [], [], []   # inv-mass-premultiplied
+    nkn_p, bmv_p = [], []                 # -k_n; bounce - v_bias | +BIG
     for (i, j) in pairs:
         dpx = px[j] - px[i]
         dpy = py[j] - py[i]
-        dist = jnp.sqrt(dpx * dpx + dpy * dpy)
+        d2 = dpx * dpx + dpy * dpy
+        inv_d = jax.lax.rsqrt(jnp.maximum(d2, eps2))
+        dist = d2 * inv_d
         pen = (radii_f[i] + radii_f[j]) - dist
-        inv_d = one / jnp.maximum(dist, eps)
         nx = dpx * inv_d
         ny = dpy * inv_d
         vrn0 = (vx[j] - vx[i]) * nx + (vy[j] - vy[i]) * ny
+        bounce = elas_f[i] * elas_f[j] * jnp.minimum(vrn0, zero)
+        vbias = bias_coef * jnp.maximum(pen - slop, zero)
         nx_p.append(nx)
         ny_p.append(ny)
-        act_p.append((pen > 0).astype(dtype))
-        kn_p.append(one / (inv_m[i] + inv_m[j]))
-        bounce_p.append(elas_f[i] * elas_f[j] * jnp.minimum(vrn0, zero))
-        vbias_p.append(bias_coef * jnp.maximum(pen - slop, zero))
+        nxi_p.append(nx * inv_m[i])
+        nyi_p.append(ny * inv_m[i])
+        nxj_p.append(nx * inv_m[j])
+        nyj_p.append(ny * inv_m[j])
+        nkn_p.append(-(one / (inv_m[i] + inv_m[j])))
+        bmv_p.append(jnp.where(pen > 0, bounce - vbias, big))
 
     # ---- wall precompute (per body x wall scalars) ----------------------
     # wall order [bottom, top, left, right]; normals (0,1),(0,-1),(1,0),(-1,0)
+    # Stored NEGATED (v_bias - bounce) so the iteration's velocity-units
+    # target is one subtract; inactive sentinel is -BIG.
     w = jnp.asarray(params.width, dtype)
     h = jnp.asarray(params.height, dtype)
     glo = jnp.asarray(params.goal_y_lo, dtype)
     ghi = jnp.asarray(params.goal_y_hi, dtype)
-    wact, wbounce, wvbias = [], [], []  # each [4][n_bodies]
-    for wi in range(4):
-        wact.append([None] * n_bodies)
-        wbounce.append([None] * n_bodies)
-        wvbias.append([None] * n_bodies)
+    wnbmv = [[None] * n_bodies for _ in range(4)]  # [4][n_bodies]
     neg_one = jnp.asarray(-1.0, dtype)
     for i in range(n_bodies):
         if i == 0:
@@ -185,87 +226,96 @@ def _solve_contacts_scalar(
         e_w = elas_f[i] * jnp.asarray(params.wall_elasticity, dtype)
         vrn0_w = [vy[i], -vy[i], vx[i], -vx[i]]  # vel · wall normal
         for wi in range(4):
-            wact[wi][i] = (d[wi] > 0).astype(dtype)
-            wbounce[wi][i] = e_w * jnp.minimum(vrn0_w[wi], zero)
-            wvbias[wi][i] = bias_coef * jnp.maximum(d[wi] - slop, zero)
+            wbounce = e_w * jnp.minimum(vrn0_w[wi], zero)
+            wvbias = bias_coef * jnp.maximum(d[wi] - slop, zero)
+            wnbmv[wi][i] = jnp.where(d[wi] > 0, wvbias - wbounce, neg_big)
 
     def one_iteration(_, carry):
         vx = list(carry[0])
         vy = list(carry[1])
         jn_cc = list(carry[2])
         jt_cc = list(carry[3])
-        jn_w = [list(r) for r in carry[4]]
-        jt_w = [list(r) for r in carry[5]]
+        jv_w = [list(r) for r in carry[4]]   # wall normal acc, velocity units
+        jtv_w = [list(r) for r in carry[5]]  # wall friction acc, velocity units
 
         # -- circle–circle, sequential in fixed lexicographic order -----
         for p, (i, j) in enumerate(pairs):
-            m = act_p[p]
             nx, ny = nx_p[p], ny_p[p]
+            nxi, nyi, nxj, nyj = nxi_p[p], nyi_p[p], nxj_p[p], nyj_p[p]
             # tangent t = (-ny, nx)
             vrn = (vx[j] - vx[i]) * nx + (vy[j] - vy[i]) * ny
-            dj = -kn_p[p] * (vrn + bounce_p[p] - vbias_p[p])
-            jn_new = jnp.maximum(jn_cc[p] + dj, zero)
-            dj = (jn_new - jn_cc[p]) * m
-            jn_cc[p] = jn_cc[p] + dj
-            vx[i] = vx[i] - dj * nx * inv_m[i]
-            vy[i] = vy[i] - dj * ny * inv_m[i]
-            vx[j] = vx[j] + dj * nx * inv_m[j]
-            vy[j] = vy[j] + dj * ny * inv_m[j]
+            jn_new = jnp.maximum(jn_cc[p] + nkn_p[p] * (vrn + bmv_p[p]), zero)
+            dj = jn_new - jn_cc[p]
+            jn_cc[p] = jn_new
+            vx[i] = vx[i] - dj * nxi
+            vy[i] = vy[i] - dj * nyi
+            vx[j] = vx[j] + dj * nxj
+            vy[j] = vy[j] + dj * nyj
             # friction
-            vrt = (vx[j] - vx[i]) * (-ny) + (vy[j] - vy[i]) * nx
-            djt = -kn_p[p] * vrt
-            lim = mu * jn_cc[p]
+            vrt = (vy[j] - vy[i]) * nx - (vx[j] - vx[i]) * ny
+            djt = nkn_p[p] * vrt
+            lim = mu * jn_new
             jt_new = jnp.clip(jt_cc[p] + djt, -lim, lim)
-            djt = (jt_new - jt_cc[p]) * m
-            jt_cc[p] = jt_cc[p] + djt
-            vx[i] = vx[i] - djt * (-ny) * inv_m[i]
-            vy[i] = vy[i] - djt * nx * inv_m[i]
-            vx[j] = vx[j] + djt * (-ny) * inv_m[j]
-            vy[j] = vy[j] + djt * nx * inv_m[j]
+            djt = jt_new - jt_cc[p]
+            jt_cc[p] = jt_new
+            vx[i] = vx[i] + djt * nyi
+            vy[i] = vy[i] - djt * nxi
+            vx[j] = vx[j] - djt * nyj
+            vy[j] = vy[j] + djt * nxj
 
         # -- walls: order [bottom, top, left, right]; bodies independent.
+        # Velocity-units form (k_n = m_i cancels inv_m; see docstring).
         # Axis-aligned: bottom/top -> normal on vy, friction on vx;
         # left/right -> normal on vx, friction on vy. Signs from normals
         # (0,1),(0,-1),(1,0),(-1,0) and tangents (-1,0),(1,0),(0,1),(0,-1).
         for wi in range(4):
             for i in range(n_bodies):
-                m = wact[wi][i]
+                # dv0 = -(vrn + bmv) = wnbmv - vrn, sign-folded per wall
                 if wi == 0:
-                    vrn, vrt_sign = vy[i], -1.0   # t=(-1,0): vrt=-vx
+                    dv0 = wnbmv[wi][i] - vy[i]
                 elif wi == 1:
-                    vrn, vrt_sign = -vy[i], 1.0   # t=(1,0): vrt=vx
+                    dv0 = wnbmv[wi][i] + vy[i]
                 elif wi == 2:
-                    vrn, vrt_sign = vx[i], 1.0    # t=(0,1): vrt=vy
+                    dv0 = wnbmv[wi][i] - vx[i]
                 else:
-                    vrn, vrt_sign = -vx[i], -1.0  # t=(0,-1): vrt=-vy
-                kn = one / inv_m[i]
-                dj = -kn * (vrn + wbounce[wi][i] - wvbias[wi][i])
-                jn_new = jnp.maximum(jn_w[wi][i] + dj, zero)
-                dj = (jn_new - jn_w[wi][i]) * m
-                jn_w[wi][i] = jn_w[wi][i] + dj
+                    dv0 = wnbmv[wi][i] + vx[i]
+                jv_new = jnp.maximum(jv_w[wi][i] + dv0, zero)
+                dv = jv_new - jv_w[wi][i]
+                jv_w[wi][i] = jv_new
                 if wi == 0:
-                    vy[i] = vy[i] + dj * inv_m[i]
+                    vy[i] = vy[i] + dv
                 elif wi == 1:
-                    vy[i] = vy[i] - dj * inv_m[i]
+                    vy[i] = vy[i] - dv
                 elif wi == 2:
-                    vx[i] = vx[i] + dj * inv_m[i]
+                    vx[i] = vx[i] + dv
                 else:
-                    vx[i] = vx[i] - dj * inv_m[i]
-                # friction
-                vrt = vrt_sign * (vx[i] if wi < 2 else vy[i])
-                djt = -kn * vrt
-                lim = mu * jn_w[wi][i]
-                jt_new = jnp.clip(jt_w[wi][i] + djt, -lim, lim)
-                djt = (jt_new - jt_w[wi][i]) * m
-                jt_w[wi][i] = jt_w[wi][i] + djt
-                if wi < 2:
-                    vx[i] = vx[i] + djt * vrt_sign * inv_m[i]
+                    vx[i] = vx[i] - dv
+                # friction: dvt0 = -vrt, sign-folded per wall tangent
+                if wi == 0:
+                    dvt0 = vx[i]          # vrt = -vx
+                elif wi == 1:
+                    dvt0 = -vx[i]         # vrt = vx
+                elif wi == 2:
+                    dvt0 = -vy[i]         # vrt = vy
                 else:
-                    vy[i] = vy[i] + djt * vrt_sign * inv_m[i]
+                    dvt0 = vy[i]          # vrt = -vy
+                limv = mu * jv_new
+                jt_new = jnp.clip(jtv_w[wi][i] + dvt0, -limv, limv)
+                dvt = jt_new - jtv_w[wi][i]
+                jtv_w[wi][i] = jt_new
+                # vel += t * dvt with t = (-1,0),(1,0),(0,1),(0,-1)
+                if wi == 0:
+                    vx[i] = vx[i] - dvt
+                elif wi == 1:
+                    vx[i] = vx[i] + dvt
+                elif wi == 2:
+                    vy[i] = vy[i] + dvt
+                else:
+                    vy[i] = vy[i] - dvt
 
         return (
             tuple(vx), tuple(vy), tuple(jn_cc), tuple(jt_cc),
-            tuple(tuple(r) for r in jn_w), tuple(tuple(r) for r in jt_w),
+            tuple(tuple(r) for r in jv_w), tuple(tuple(r) for r in jtv_w),
         )
 
     # Accumulators are zeros_like a velocity (not 0-d scalars) so the
@@ -331,17 +381,20 @@ def physics_step_scalars(
     dt_c = jnp.asarray(dt_sub, dtype)
     damp = jnp.asarray(params.damping, dtype) ** jnp.asarray(dt_sub, dtype)
     one = jnp.asarray(1.0, dtype)
-    eps = jnp.asarray(1e-12, dtype)
+    eps2 = jnp.asarray(1e-12, dtype)
     max_sp = jnp.asarray(params.max_speed, dtype)
 
     def substep(_, carry):
         px, py, vx, vy = (list(t) for t in carry)
-        # Spec item 1: velocity integration + speed clamp, per body.
+        # Spec item 1: velocity integration + speed clamp, per body
+        # (hot-form: rsqrt on |v|^2, see integrate_velocity).
         for i in range(n):
             nvx = vx[i] * damp + fx[i] * inv_m[i] * dt_c
             nvy = vy[i] * damp + fy[i] * inv_m[i] * dt_c
-            speed = jnp.sqrt(nvx * nvx + nvy * nvy)
-            scale = jnp.minimum(one, max_sp / jnp.maximum(speed, eps))
+            s2 = nvx * nvx + nvy * nvy
+            scale = jnp.minimum(
+                one, max_sp * jax.lax.rsqrt(jnp.maximum(s2, eps2))
+            )
             vx[i] = nvx * scale
             vy[i] = nvy * scale
         # Spec items 2-3: contacts.

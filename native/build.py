@@ -56,7 +56,7 @@ def load_oracle() -> ctypes.CDLL:
         c_d,              # game params
     ]
     lib.futbol_env_step.restype = None
-    assert lib.futbol_oracle_abi_version() == 2
+    assert lib.futbol_oracle_abi_version() == 3
     return lib
 
 

@@ -59,11 +59,15 @@ void substep(std::vector<V2>& pos, std::vector<V2>& vel,
   }
 
   // ---- spec item 1: velocity integration -------------------------------
+  // Hot-form algebra (physics.py spec item 3 "Hot-form"): the JAX engine
+  // computes the speed clamp as max_speed * rsqrt(max(|v|^2, 1e-12));
+  // on CPU rsqrt == 1.0/sqrt bit-exactly, mirrored here literally.
   const double damp = std::pow(p.damping, dt_sub);
   for (int i = 0; i < n; ++i) {
     V2 v = vel[i] * damp + forces[i] * (inv_m[i] * dt_sub);
-    double speed = std::sqrt(v.x * v.x + v.y * v.y);
-    double scale = std::fmin(1.0, p.max_speed / std::fmax(speed, 1e-12));
+    double s2 = v.x * v.x + v.y * v.y;
+    double scale =
+        std::fmin(1.0, p.max_speed * (1.0 / std::sqrt(std::fmax(s2, 1e-12))));
     vel[i] = v * scale;
   }
 
@@ -71,39 +75,47 @@ void substep(std::vector<V2>& pos, std::vector<V2>& vel,
   const double goal_y_lo = (p.height - p.goal_size) / 2.0;
   const double goal_y_hi = (p.height + p.goal_size) / 2.0;
   const double bias_coef = p.baumgarte / dt_sub;
+  const double BIG = 1e20;  // inactive-contact sentinel (spec item 3)
 
   struct CC {
     int i, j;
-    double active;
-    V2 nrm, tan;
-    double kn, bounce, vbias;
+    V2 nrm;
+    double nxi, nyi, nxj, nyj;  // inv-mass-premultiplied normal components
+    double nkn;                 // -k_n
+    double bmv;                 // bounce - v_bias, or +BIG when inactive
   };
   std::vector<CC> cc;
   cc.reserve(n * (n - 1) / 2);
   for (int i = 0; i < n; ++i) {
     for (int j = i + 1; j < n; ++j) {
       V2 dp = pos[j] - pos[i];
-      double dist = std::sqrt(dp.x * dp.x + dp.y * dp.y);
+      double d2 = dp.x * dp.x + dp.y * dp.y;
+      double inv_d = 1.0 / std::sqrt(std::fmax(d2, 1e-12));
+      double dist = d2 * inv_d;
       double pen = (radii[i] + radii[j]) - dist;
       CC c;
       c.i = i;
       c.j = j;
-      c.active = pen > 0.0 ? 1.0 : 0.0;
-      double inv_d = 1.0 / std::fmax(dist, 1e-12);
       c.nrm = dp * inv_d;
-      c.tan = {-c.nrm.y, c.nrm.x};
-      c.kn = 1.0 / (inv_m[i] + inv_m[j]);
+      c.nxi = c.nrm.x * inv_m[i];
+      c.nyi = c.nrm.y * inv_m[i];
+      c.nxj = c.nrm.x * inv_m[j];
+      c.nyj = c.nrm.y * inv_m[j];
+      c.nkn = -(1.0 / (inv_m[i] + inv_m[j]));
       double e = elas[i] * elas[j];
       double vrn0 = dot(vel[j] - vel[i], c.nrm);
-      c.bounce = e * std::fmin(vrn0, 0.0);
-      c.vbias = bias_coef * std::fmax(pen - p.collision_slop, 0.0);
+      double bounce = e * std::fmin(vrn0, 0.0);
+      double vbias = bias_coef * std::fmax(pen - p.collision_slop, 0.0);
+      c.bmv = pen > 0.0 ? bounce - vbias : BIG;
       cc.push_back(c);
     }
   }
 
-  // walls: order [bottom, top, left, right]; normals point into the field
+  // walls: order [bottom, top, left, right]; normals point into the field.
+  // Stored NEGATED (v_bias - bounce; -BIG when inactive) for the
+  // velocity-units wall solve (k_n = m_i cancels inv_m — spec item 3).
   const V2 wall_n[4] = {{0, 1}, {0, -1}, {1, 0}, {-1, 0}};
-  std::vector<double> w_active(4 * n), w_bounce(4 * n), w_vbias(4 * n);
+  std::vector<double> w_nbmv(4 * n);
   for (int i = 0; i < n; ++i) {
     bool ball_in_mouth =
         (i == 0) && pos[i].y >= goal_y_lo && pos[i].y <= goal_y_hi;
@@ -114,65 +126,76 @@ void substep(std::vector<V2>& pos, std::vector<V2>& vel,
     d[3] = ball_in_mouth ? -1.0 : radii[i] - (p.width - pos[i].x);
     double e = elas[i] * p.wall_elasticity;
     for (int w = 0; w < 4; ++w) {
-      w_active[w * n + i] = d[w] > 0.0 ? 1.0 : 0.0;
       double vrn0 = dot(vel[i], wall_n[w]);
-      w_bounce[w * n + i] = e * std::fmin(vrn0, 0.0);
-      w_vbias[w * n + i] =
-          bias_coef * std::fmax(d[w] - p.collision_slop, 0.0);
+      double wbounce = e * std::fmin(vrn0, 0.0);
+      double wvbias = bias_coef * std::fmax(d[w] - p.collision_slop, 0.0);
+      w_nbmv[w * n + i] = d[w] > 0.0 ? wvbias - wbounce : -BIG;
     }
   }
 
-  // ---- spec item 3: impulse solve ---------------------------------------
+  // ---- spec item 3: impulse solve (hot-form algebra) --------------------
   std::vector<double> jn_cc(cc.size(), 0.0), jt_cc(cc.size(), 0.0);
-  std::vector<double> jn_w(4 * n, 0.0), jt_w(4 * n, 0.0);
+  std::vector<double> jv_w(4 * n, 0.0), jtv_w(4 * n, 0.0);  // velocity units
 
   for (int it = 0; it < iters; ++it) {
     // circle–circle, sequential in fixed lexicographic order
     for (size_t k = 0; k < cc.size(); ++k) {
       const CC& c = cc[k];
       double vrn = dot(vel[c.j] - vel[c.i], c.nrm);
-      double dj = -c.kn * (vrn + c.bounce - c.vbias);
-      double jn_new = std::fmax(jn_cc[k] + dj, 0.0);
-      dj = (jn_new - jn_cc[k]) * c.active;
-      jn_cc[k] += dj;
-      V2 dv = c.nrm * dj;
-      vel[c.i] = vel[c.i] - dv * inv_m[c.i];
-      vel[c.j] = vel[c.j] + dv * inv_m[c.j];
-      // friction
-      double vrt = dot(vel[c.j] - vel[c.i], c.tan);
-      double djt = -c.kn * vrt;
-      double lim = p.friction * jn_cc[k];
-      double jt_new = jt_cc[k] + djt;
-      jt_new = std::fmin(std::fmax(jt_new, -lim), lim);
-      djt = (jt_new - jt_cc[k]) * c.active;
-      jt_cc[k] += djt;
-      dv = c.tan * djt;
-      vel[c.i] = vel[c.i] - dv * inv_m[c.i];
-      vel[c.j] = vel[c.j] + dv * inv_m[c.j];
+      double jn_new = std::fmax(jn_cc[k] + c.nkn * (vrn + c.bmv), 0.0);
+      double dj = jn_new - jn_cc[k];
+      jn_cc[k] = jn_new;
+      vel[c.i].x -= dj * c.nxi;
+      vel[c.i].y -= dj * c.nyi;
+      vel[c.j].x += dj * c.nxj;
+      vel[c.j].y += dj * c.nyj;
+      // friction (tangent t = (-ny, nx))
+      double vrt = (vel[c.j].y - vel[c.i].y) * c.nrm.x -
+                   (vel[c.j].x - vel[c.i].x) * c.nrm.y;
+      double djt = c.nkn * vrt;
+      double lim = p.friction * jn_new;
+      double jt_new = std::fmin(std::fmax(jt_cc[k] + djt, -lim), lim);
+      djt = jt_new - jt_cc[k];
+      jt_cc[k] = jt_new;
+      vel[c.i].x += djt * c.nyi;
+      vel[c.i].y -= djt * c.nxi;
+      vel[c.j].x -= djt * c.nyj;
+      vel[c.j].y += djt * c.nxj;
     }
 
-    // walls: per-wall, per-body (independent bodies => same math as the
-    // JAX vectorized pass)
+    // walls: velocity-units solve, per-wall, per-body (independent
+    // bodies => same math as the JAX vectorized pass)
     for (int w = 0; w < 4; ++w) {
-      const V2 nw = wall_n[w];
-      const V2 tw = {-nw.y, nw.x};
       for (int i = 0; i < n; ++i) {
-        double kn = 1.0 / inv_m[i];
-        double m = w_active[w * n + i];
-        double vrn = dot(vel[i], nw);
-        double dj = -kn * (vrn + w_bounce[w * n + i] - w_vbias[w * n + i]);
-        double jn_new = std::fmax(jn_w[w * n + i] + dj, 0.0);
-        dj = (jn_new - jn_w[w * n + i]) * m;
-        jn_w[w * n + i] += dj;
-        vel[i] = vel[i] + nw * (dj * inv_m[i]);
-        double vrt = dot(vel[i], tw);
-        double djt = -kn * vrt;
-        double lim = p.friction * jn_w[w * n + i];
-        double jt_new = jt_w[w * n + i] + djt;
-        jt_new = std::fmin(std::fmax(jt_new, -lim), lim);
-        djt = (jt_new - jt_w[w * n + i]) * m;
-        jt_w[w * n + i] += djt;
-        vel[i] = vel[i] + tw * (djt * inv_m[i]);
+        const size_t k = w * n + i;
+        // dv0 = -(vrn + bmv) = wnbmv - vrn, sign-folded per wall
+        double dv0;
+        if (w == 0) dv0 = w_nbmv[k] - vel[i].y;
+        else if (w == 1) dv0 = w_nbmv[k] + vel[i].y;
+        else if (w == 2) dv0 = w_nbmv[k] - vel[i].x;
+        else dv0 = w_nbmv[k] + vel[i].x;
+        double jv_new = std::fmax(jv_w[k] + dv0, 0.0);
+        double dv = jv_new - jv_w[k];
+        jv_w[k] = jv_new;
+        if (w == 0) vel[i].y += dv;
+        else if (w == 1) vel[i].y -= dv;
+        else if (w == 2) vel[i].x += dv;
+        else vel[i].x -= dv;
+        // friction: dvt0 = -vrt, sign-folded per wall tangent
+        double dvt0;
+        if (w == 0) dvt0 = vel[i].x;        // vrt = -vx
+        else if (w == 1) dvt0 = -vel[i].x;  // vrt = vx
+        else if (w == 2) dvt0 = -vel[i].y;  // vrt = vy
+        else dvt0 = vel[i].y;               // vrt = -vy
+        double limv = p.friction * jv_new;
+        double jt_new = std::fmin(std::fmax(jtv_w[k] + dvt0, -limv), limv);
+        double dvt = jt_new - jtv_w[k];
+        jtv_w[k] = jt_new;
+        // vel += t * dvt with t = (-1,0),(1,0),(0,1),(0,-1)
+        if (w == 0) vel[i].x -= dvt;
+        else if (w == 1) vel[i].x += dvt;
+        else if (w == 2) vel[i].y += dvt;
+        else vel[i].y -= dvt;
       }
     }
   }
@@ -493,6 +516,6 @@ void futbol_physics_step(double* pos, double* vel, const double* forces,
   }
 }
 
-int futbol_oracle_abi_version() { return 2; }
+int futbol_oracle_abi_version() { return 3; }
 
 }  // extern "C"

@@ -27,10 +27,10 @@ BENCH = os.path.join(os.path.dirname(HERE), "bench.py")
 # #2); round-over-round measured history lives in BASELINE.md so slow
 # drift is visible before it reaches a floor.
 FLOORS = [
-    (3, 40e6, "52.9M fused rollout (r3)"),
-    (4, 21e6, "30.1M 3v3 PPO collect+GAE (r4)"),
-    (6, 30e6, "43M policy-in-kernel self-play"),
-    (5, 6.5e6, "8.57M full 5v5 PPO iteration (fused update, r3)"),
+    (3, 47e6, "63.3M fused rollout (r4, hot-form solver)"),
+    (4, 25e6, "35.1M 3v3 PPO collect+GAE (r4)"),
+    (6, 35e6, "49.0M policy-in-kernel self-play (r4)"),
+    (5, 7e6, "9.35M full 5v5 PPO iteration (fused update, r4)"),
 ]
 
 
