@@ -257,6 +257,77 @@ def collect_recurrent_rollout(
     return runner, traj, last_value
 
 
+def collect_recurrent_rollout_fused(
+    runner: RecurrentRunnerState, model, env_params: EnvParams,
+    cfg: A2CConfig, block: int | None = None, interpret: bool = False,
+) -> tuple[RecurrentRunnerState, Transition, jax.Array]:
+    """Drop-in for :func:`collect_recurrent_rollout` on the Pallas fused
+    recurrent kernel (ops/fused_recurrent.py): torso + LSTM cell (MXU) +
+    heads + sampling + env step + carry resets all inside ONE kernel,
+    with the (c, h) carries VMEM-resident across the whole window.
+
+    The BPTT update (:func:`recurrent_a2c_loss`) is unchanged — it
+    re-runs the flax model over the emitted obs from the rollout's
+    initial carry, so the only relayout is the per-step obs transpose
+    into the scan's [T, 2B, F] order (small: recurrent windows are
+    cfg.rollout_steps ~ 8).
+    """
+    from . import env as env_core
+    from .ops import pack_state, unpack_state
+    from .ops.fused_recurrent import (
+        flatten_recurrent_actor_critic,
+        fused_recurrent_collect,
+    )
+
+    assert model.n_players == env_params.players_per_team
+    w = flatten_recurrent_actor_critic(runner.params, model)
+    sf, si = pack_state(runner.env_state, env_params)
+    b = sf.shape[1] * 128
+    if block is None:
+        block = b
+        for cand in (2048, 1024):
+            if b % cand == 0:
+                block = cand
+                break
+    # carry [2, B, H] (view-major) -> kernel layout [2, H, nb, 128]
+    to_fm = lambda c: jnp.swapaxes(c, 1, 2).reshape(
+        2, model.lstm_size, -1, 128
+    )
+    key, k_seed, k_state = jax.random.split(runner.key, 3)
+    seed = jax.random.randint(k_seed, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+    (sf, si, obs, dirs, acts, logp, value, reward, done, last_v,
+     cc2, hh2) = fused_recurrent_collect(
+        sf, si, w, to_fm(runner.carry[0]), to_fm(runner.carry[1]), seed,
+        env_params, cfg.rollout_steps, hidden=tuple(model.hidden),
+        lstm_size=model.lstm_size, block=block, interpret=interpret,
+    )
+    t = cfg.rollout_steps
+    n_feat = env_core.obs_size(env_params)
+    # [2, F_pad, T, nb, 128] -> [T, 2B, F] for the BPTT scan
+    obs_tm = jnp.transpose(
+        obs.reshape(2, obs.shape[1], t, b)[:, :n_feat], (2, 0, 3, 1)
+    ).reshape(t, 2 * b, n_feat)
+    traj = Transition(
+        obs=obs_tm,
+        dirs=dirs.reshape(t, 2 * b),
+        acts=acts.reshape(t, 2 * b),
+        logp=logp.reshape(t, 2 * b),
+        value=value.reshape(t, 2 * b),
+        reward=reward.reshape(t, 2 * b),
+        done=done.reshape(t, 2 * b).astype(bool),
+    )
+    from_fm = lambda c: jnp.swapaxes(
+        c.reshape(2, model.lstm_size, b), 1, 2
+    )
+    env_state = unpack_state(sf, si, k_state, env_params)
+    new_obs = jax.vmap(lambda s: env_core.observe(s, env_params))(env_state)
+    runner = runner.replace(
+        env_state=env_state, obs=new_obs, key=key,
+        carry=(from_fm(cc2), from_fm(hh2)),
+    )
+    return runner, traj, last_v.reshape(2 * b)
+
+
 def recurrent_a2c_loss(
     params, model, traj: Transition, init_carry, adv, returns,
     cfg: A2CConfig,
@@ -286,14 +357,19 @@ def recurrent_a2c_loss(
 
 def train_iteration_recurrent(
     runner: RecurrentRunnerState, model, env_params: EnvParams,
-    cfg: A2CConfig, tx, axis_name: str | None = None,
+    cfg: A2CConfig, tx, axis_name: str | None = None, collect_fn=None,
 ) -> tuple[RecurrentRunnerState, dict[str, jax.Array]]:
     """One recurrent A2C iteration. Signature-compatible with the
     sharding layer (pass ``runner_specs=recurrent_runner_specs()`` to
-    :func:`gym_futbol_tpu.parallel.shard_train_iteration`)."""
+    :func:`gym_futbol_tpu.parallel.shard_train_iteration`). ``collect_fn``
+    defaults to the jnp :func:`collect_recurrent_rollout`; pass
+    :func:`collect_recurrent_rollout_fused` to collect on the Pallas
+    LSTM-in-kernel path (TPU) — the BPTT loss below is identical either
+    way (it recomputes the forward through time from the emitted obs)."""
+    collect_fn = collect_fn or collect_recurrent_rollout
     b = runner.obs.shape[0]
     init_carry = _flat_carry(runner.carry, b)
-    runner, traj, last_value = collect_recurrent_rollout(
+    runner, traj, last_value = collect_fn(
         runner, model, env_params, cfg
     )
     adv, returns = compute_gae(traj, last_value, cfg)
@@ -344,6 +420,7 @@ __all__ = [
     "a2c_loss",
     "a2c_loss_fm",
     "collect_recurrent_rollout",
+    "collect_recurrent_rollout_fused",
     "init_recurrent_runner",
     "init_runner",
     "make_optimizer",

@@ -101,9 +101,16 @@ def actor_critic_policy_weights(variables, model) -> tuple:
     return flatten_actor_critic(variables, model)[:-2]
 
 
-def _sample_with_logp(logit_rows, n_groups: int, block: int, sub: int):
+def _sample_with_logp(logit_rows, n_groups: int, block: int, sub: int,
+                      uniform=None):
     """Row-form inverse-CDF sampling + joint taken log-prob.
-    Returns (idx tiles [(sub,128)]*G, joint logp [block])."""
+    Returns (idx tiles [(sub,128)]*G, joint logp [block]).
+
+    ``uniform`` optionally injects the per-group uniform source (a
+    zero-arg callable returning an (sub, 128) draw) — the seed-table
+    interpret path of ops/fused_recurrent.py; defaults to the on-core
+    PRNG."""
+    draw = uniform or (lambda: _uniform01((sub, _LANE)))
     idxs, logp_total = [], None
     for g in range(n_groups):
         rows = [logit_rows[g * N_CHOICES + i] for i in range(N_CHOICES)]
@@ -116,7 +123,7 @@ def _sample_with_logp(logit_rows, n_groups: int, block: int, sub: int):
             z = z + e
         logz = jnp.log(z)
         logps = [r - m - logz for r in rows]
-        u = _uniform01((sub, _LANE)).reshape(block) * z
+        u = draw().reshape(block) * z
         cum = exps[0]
         idx = (u > cum).astype(jnp.int32)
         for i in range(1, N_CHOICES - 1):

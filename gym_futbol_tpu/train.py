@@ -102,14 +102,18 @@ def main() -> None:
         cfg = a2c.A2CConfig(rollout_steps=args.rollout_steps, lr=args.lr)
         tx = a2c.make_optimizer(cfg)
         if args.recurrent:
+            import functools
+
             if args.fused_collect:
-                raise SystemExit(
-                    "--recurrent collects with the LSTM carry threaded "
-                    "through the rollout scan; the stateless fused-collect "
-                    "kernel has no recurrent cell (documented descope, "
-                    "DESIGN.md §4)"
+                # LSTM-in-kernel collect (ops/fused_recurrent.py): the
+                # cell runs on the MXU inside the Pallas kernel with the
+                # carry VMEM-resident; the BPTT update is unchanged.
+                iteration_fn = functools.partial(
+                    a2c.train_iteration_recurrent,
+                    collect_fn=a2c.collect_recurrent_rollout_fused,
                 )
-            iteration_fn = a2c.train_iteration_recurrent
+            else:
+                iteration_fn = a2c.train_iteration_recurrent
             runner_specs = a2c.recurrent_runner_specs()
         elif args.fused_collect:
             import functools

@@ -14,6 +14,7 @@ concurrent lanes + routine-runnable wall time are VERDICT r2 item 6):
       - check_fused_actor     policy-in-kernel rollout, statistical
       - check_fused_collect   fused-collect logp/value/mirror consistency
       - check_fused_update    fused PPO-update grads vs jax.grad
+      - check_fused_recurrent LSTM-in-kernel collect vs flax replay
       - check_perf            bench floors (opt-in: --with-perf)
       - check_learning        trained-vs-random win gate (opt-in:
                               --with-learning; ~3 min/seed on the v5e)
@@ -45,7 +46,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 CPU_GATES = ["check_env_parity.py", "check_physics_parity.py"]
 TPU_GATES = ["check_fused_actor.py", "check_fused_collect.py",
-             "check_fused_update.py"]
+             "check_fused_update.py", "check_fused_recurrent.py"]
 
 
 def run_gate(script: str, cpu: bool, timeout: int,
