@@ -320,7 +320,11 @@ def main() -> None:
     ap.add_argument("--envs", type=int, default=None)
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--ppt", type=int, default=None)
-    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=10,
+                    help="timed iterations; the one-time final-sync "
+                         "latency (device_get through the axon tunnel, "
+                         "~40ms) amortizes over this count — 3 understated "
+                         "steady-state throughput by ~20%% at config 3")
     ap.add_argument(
         "--impl", choices=("auto", "fused", "jnp"), default="auto",
         help="rollout implementation for configs 2-3: Pallas fused kernel "
