@@ -20,6 +20,15 @@ import sys
 import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+from _tunnel import child_env, ensure_parent_unregistered  # noqa: E402
+
+# This parent is a pure-CPU orchestrator whose CHILDREN are the TPU
+# clients; a tunnel-registered parent blocks its own children's device
+# acquisition (parity/_tunnel.py docstring).
+ensure_parent_unregistered()
+
 BENCH = os.path.join(os.path.dirname(HERE), "bench.py")
 
 # (config, floor steps/s, measured-on-v5e reference from BASELINE.md).
@@ -50,7 +59,8 @@ def main() -> int:
         t0 = time.perf_counter()
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
-                                  timeout=args.timeout)
+                                  timeout=args.timeout,
+                                  env=child_env(tpu=True))
             last = (proc.stdout.strip().splitlines() or ["{}"])[-1]
             try:
                 rec = json.loads(last)

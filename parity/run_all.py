@@ -43,6 +43,14 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+from _tunnel import child_env, ensure_parent_unregistered  # noqa: E402
+
+# Pure-CPU orchestrator; its CHILDREN are the TPU clients, and a
+# tunnel-registered parent blocks its own children's device acquisition
+# (parity/_tunnel.py docstring).
+ensure_parent_unregistered()
 
 CPU_GATES = ["check_env_parity.py", "check_physics_parity.py"]
 TPU_GATES = ["check_fused_actor.py", "check_fused_collect.py",
@@ -51,9 +59,8 @@ TPU_GATES = ["check_fused_actor.py", "check_fused_collect.py",
 
 def run_gate(script: str, cpu: bool, timeout: int,
              extra_args: list[str] | None = None) -> dict:
-    env = dict(os.environ)
+    env = child_env(tpu=not cpu)
     if cpu:
-        env["PALLAS_AXON_POOL_IPS"] = ""   # skip TPU tunnel registration
         env["JAX_PLATFORMS"] = "cpu"
     t0 = time.perf_counter()
     try:
