@@ -12,12 +12,14 @@ so the clean fix is to re-exec the parent once with
 ``PALLAS_AXON_POOL_IPS=''`` (registration skipped entirely), stashing
 the original value so spawned TPU children get the real tunnel back.
 
-Debugging note (2026-08-20 incident): a child bench sitting at ~0 CPU
-for many minutes with ``jax.devices()`` instant from other processes is
-NOT this gotcha — it is the REMOTE COMPILE service wedged
-(``PALLAS_AXON_REMOTE_COMPILE=1`` sends compiles server-side; the
-client waits with no CPU). Probe with a trivial ``jax.jit`` — if that
-hangs, no client-side change helps; wait for the service.
+Debugging note (2026-08-20 incident, root-caused): a child bench
+sitting at ~0 CPU for many minutes with ``jax.devices()`` instant from
+other processes is NOT this gotcha — it was a CORRUPT PERSISTENT
+COMPILE CACHE entry (a process killed mid-write leaves an entry whose
+load hangs the next reader of that program; other programs compile
+fine). Confirm with ``GFT_COMPILATION_CACHE=/tmp/fresh`` and purge
+``.jax_cache``. If a trivial ``jax.jit`` hangs from every process, it
+is the remote-compile service instead — wait it out.
 
 Call :func:`ensure_parent_unregistered` as the FIRST import-time action;
 use :func:`child_env` when building subprocess environments.
