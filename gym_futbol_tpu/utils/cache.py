@@ -24,5 +24,9 @@ def enable_compilation_cache(directory: str | None = None) -> str:
     )
     os.makedirs(directory, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", directory)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Persist EVERY compile (not just >1s ones): under axon remote
+    # compile, a wedged compile service (CLAUDE.md gotcha #5) hangs any
+    # uncached program — tiny ones included — so a fully-populated cache
+    # is what lets warm benches survive service outages.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     return directory
