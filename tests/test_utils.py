@@ -163,3 +163,51 @@ class TestCheckpointFidelity:
         self._bitwise_equal(r_a, restored)
         r_b, _ = step(restored)
         self._bitwise_equal(jax.device_get(r_b), jax.device_get(r_ref))
+
+
+class TestTunnelGuard:
+    """parity/_tunnel.py child-env logic (the re-exec path is exercised
+    live by check_perf/run_all; here we pin the env plumbing)."""
+
+    def _tunnel(self):
+        import importlib.util
+        import os as _os
+        path = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "parity", "_tunnel.py",
+        )
+        spec = importlib.util.spec_from_file_location("_tunnel_t", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_child_env_restores_stash_for_tpu(self, monkeypatch):
+        t = self._tunnel()
+        monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "")
+        monkeypatch.setenv("_AXON_POOL_IPS_FOR_CHILDREN", "10.0.0.7")
+        monkeypatch.setenv("_TUNNEL_GUARD_REEXECED", "1")
+        env = t.child_env(tpu=True)
+        assert env["PALLAS_AXON_POOL_IPS"] == "10.0.0.7"
+        assert "_AXON_POOL_IPS_FOR_CHILDREN" not in env
+        assert "_TUNNEL_GUARD_REEXECED" not in env
+
+    def test_child_env_cpu_disables_tunnel(self, monkeypatch):
+        t = self._tunnel()
+        monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.7")
+        env = t.child_env(tpu=False)
+        assert env["PALLAS_AXON_POOL_IPS"] == ""
+
+    def test_child_env_tpu_without_stash_keeps_empty(self, monkeypatch):
+        # operator launched the parent with the empty override: TPU
+        # children must fail fast, not resurrect a guessed tunnel
+        t = self._tunnel()
+        monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "")
+        monkeypatch.delenv("_AXON_POOL_IPS_FOR_CHILDREN", raising=False)
+        env = t.child_env(tpu=True)
+        assert env["PALLAS_AXON_POOL_IPS"] == ""
+
+    def test_ensure_noop_when_already_disabled(self, monkeypatch):
+        t = self._tunnel()
+        monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "")
+        monkeypatch.delenv("_TUNNEL_GUARD_REEXECED", raising=False)
+        t.ensure_parent_unregistered()  # must not exec/raise
