@@ -284,8 +284,13 @@ def collect_recurrent_rollout_fused(
     sf, si = pack_state(runner.env_state, env_params)
     b = sf.shape[1] * 128
     if block is None:
+        # Prefer the SMALLER block: the recurrent kernel holds per-block
+        # (c, h) carries + torso activations in VMEM, so 1024 halves VMEM
+        # pressure vs 2048 and keeps larger lstm_size/hidden inside the
+        # kernel's 64MB cap (ADVICE r4 item 1); throughput is flat across
+        # the two on the measured configs.
         block = b
-        for cand in (2048, 1024):
+        for cand in (1024, 2048):
             if b % cand == 0:
                 block = cand
                 break

@@ -390,9 +390,9 @@ def fused_recurrent_collect(
     out_specs = [
         tile3(4 * n),                              # statef'
         tile3(4),                                  # statei'
-        pl.BlockSpec(memory_space=pltpu.ANY),      # obs (HBM, manual DMA)
-        pl.BlockSpec(memory_space=pltpu.ANY),      # logp|value|reward
-        pl.BlockSpec(memory_space=pltpu.ANY),      # dirs|acts|done
+        pl.BlockSpec(memory_space=pl.ANY),         # obs (HBM, manual DMA)
+        pl.BlockSpec(memory_space=pl.ANY),         # logp|value|reward
+        pl.BlockSpec(memory_space=pl.ANY),         # dirs|acts|done
         tile3(2),                                  # last_value (2 views)
         carry_spec,                                # carry_c'
         carry_spec,                                # carry_h'

@@ -49,7 +49,11 @@ def main() -> None:
                     help="linearly anneal the learning rate from --lr to "
                          "--lr-final over the run's --iters (the schedule "
                          "parity/check_learning.py trains with; PPO only)")
-    ap.add_argument("--lr-final", type=float, default=0.0)
+    ap.add_argument("--lr-final", type=float, default=None,
+                    help="anneal target; default (unset) is the 0.1*lr "
+                         "floor — a linear->0 schedule spends its last "
+                         "~5-10%% of iterations doing no-op updates "
+                         "(VERDICT r4); pass 0.0 for the old schedule")
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--minibatches", type=int, default=4)
     ap.add_argument("--hidden", type=int, nargs="+", default=[256, 256])

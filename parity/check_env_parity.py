@@ -34,7 +34,11 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from gym_futbol_tpu import env as env_core  # noqa: E402
-from gym_futbol_tpu.types import EnvParams, EnvState  # noqa: E402
+from gym_futbol_tpu.types import (  # noqa: E402
+    EnvParams,
+    EnvState,
+    RewardConfig,
+)
 from gym_futbol_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 from native.build import load_oracle, oracle_env_step  # noqa: E402
 
@@ -133,6 +137,35 @@ def main() -> int:
         ("3v3 random", EnvParams(players_per_team=3, max_steps=60), 120, True),
         ("2v2 no-autoreset", EnvParams(players_per_team=2, max_steps=50), 60,
          False),
+        # NON-DEFAULT geometry/material/integration constants (VERDICT r4
+        # weak #5): registry.make's override surface is first-class
+        # (docs/MIGRATION.md §1) — a constant accidentally baked into the
+        # jnp step instead of read from EnvParams passes every default
+        # case and fails exactly here.
+        ("2v2 custom-geometry", EnvParams(
+            players_per_team=2, max_steps=80,
+            width=900.0, height=300.0, goal_size=60.0,
+            player_radius=12.0, ball_radius=14.0,
+            player_mass=35.0, ball_mass=2.5,
+            player_elasticity=0.5, ball_elasticity=0.3,
+            wall_elasticity=0.95, friction=0.7,
+            dt=0.08, substeps=7, damping=0.9, solver_iterations=6,
+            collision_slop=0.05, baumgarte=0.3, max_speed=350.0,
+        ), 200, True),
+        # NON-DEFAULT action/reward constants: custom RewardConfig plus
+        # kick powers / possession reach / kickoff jitter overrides.
+        ("2v2 custom-rewards", EnvParams(
+            players_per_team=2, max_steps=70,
+            move_force=3500.0, dash_multiplier=1.5,
+            possession_radius=55.0, dribble_offset=5.0,
+            pass_power=450.0, shoot_power=900.0, kick_noise=0.12,
+            placement_noise=0.06,
+            rewards=RewardConfig(
+                goal=25.0, concede=-5.0, ball_to_goal_delta=0.37,
+                player_to_ball_delta=0.045, possession_bonus=0.013,
+                oob_penalty=-0.55, time_penalty=-0.002,
+            ),
+        ), 200, True),
     ]
     failures = 0
     for name, params, steps, auto in cases:

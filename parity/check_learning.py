@@ -299,7 +299,7 @@ def main() -> int:
         "train_env_steps_per_seed": args.iters * args.envs
         * cfg.rollout_steps,
         "train_seconds_total": round(train_s, 1),
-        "hyperparams": {"lr": args.lr, "lr_anneal": "linear->0",
+        "hyperparams": {"lr": args.lr, "lr_anneal": "linear->0.1*lr floor",
                         "ent_coef": args.ent_coef, "iters": args.iters,
                         "envs": args.envs,
                         "rollout_steps": args.rollout_steps},
