@@ -157,6 +157,7 @@ def evaluate_recurrent(
     model,
     variables,
     policy_b: TeamPolicy | None = None,
+    variables_b=None,
     n_envs: int = 1024,
     n_steps: int = 300,
     seed: int = 0,
@@ -164,35 +165,50 @@ def evaluate_recurrent(
     """Head-to-head evaluation with a RECURRENT team-0 policy
     (models.recurrent.RecurrentActorCritic): the LSTM carry is threaded
     through the episode scan and zeroed where an episode ends — the eval
-    story for the MlpLstmPolicy analog (SURVEY.md §3.5). Team 1 runs the
-    stateless ``policy_b`` (default: uniform random) on the mirrored
-    view. Same metric semantics as :func:`evaluate`."""
+    story for the MlpLstmPolicy analog (SURVEY.md §3.5). Team 1 runs
+    either ``variables_b`` — a second parameter set for the SAME
+    recurrent model, with its own carry on the mirrored view (recurrent
+    leagues / monotonicity checks) — or the stateless ``policy_b``
+    (default: uniform random). Same metric semantics as
+    :func:`evaluate`."""
     from .models.policy import sample_actions
     from .models.recurrent import reset_carry_where_done
     from .vector import step_batch
 
     policy_b = policy_b or random_team_policy(params)
+    recurrent_b = variables_b is not None
 
     @partial(jax.jit, static_argnames=())
     def run(key):
         k_reset, k_roll = jax.random.split(key)
         state, obs = reset_batch(k_reset, params, n_envs)
         carry = model.initial_carry(n_envs)
+        carry_b = model.initial_carry(n_envs)
 
         def body(c, k):
-            state, obs, carry = c
+            state, obs, carry, carry_b = c
             ka, kb = jax.random.split(k)
             carry, (logits, _) = model.apply(variables, carry, obs)
             act_a, _ = sample_actions(ka, logits)
-            act_b = mirror_actions(policy_b(kb, mirror_obs(obs, params)))
+            if recurrent_b:
+                carry_b, (logits_b, _) = model.apply(
+                    variables_b, carry_b, mirror_obs(obs, params)
+                )
+                raw_b, _ = sample_actions(kb, logits_b)
+                act_b = mirror_actions(raw_b)
+            else:
+                act_b = mirror_actions(policy_b(kb, mirror_obs(obs, params)))
             joint = jnp.concatenate([act_a, act_b], axis=-2)
             state, out = step_batch(state, joint, params)
             carry = reset_carry_where_done(carry, out.done)
-            return (state, out.obs, carry), (out.info["goal"],
-                                             out.team_reward[:, 0])
+            carry_b = reset_carry_where_done(carry_b, out.done)
+            return (state, out.obs, carry, carry_b), (out.info["goal"],
+                                                      out.team_reward[:, 0])
 
         keys = jax.random.split(k_roll, n_steps)
-        _, (goals, rew0) = jax.lax.scan(body, (state, obs, carry), keys)
+        _, (goals, rew0) = jax.lax.scan(
+            body, (state, obs, carry, carry_b), keys
+        )
         total_goals = goals.sum(axis=(0, 1))
         per_env = goals.sum(axis=0)
         return {

@@ -21,8 +21,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", choices=("ppo", "a2c"), default="ppo")
     ap.add_argument("--recurrent", action="store_true",
-                    help="train the LSTM actor-critic (A2C full-batch "
-                         "BPTT; implies --algo a2c)")
+                    help="train the LSTM actor-critic (MlpLstmPolicy "
+                         "analog): --algo a2c => full-batch BPTT A2C; "
+                         "--algo ppo => sequence-minibatched clipped-"
+                         "surrogate recurrent PPO (recurrent_ppo.py)")
     ap.add_argument("--lstm-size", type=int, default=128)
     ap.add_argument("--fused-collect", action="store_true",
                     help="collect PPO experience with the Pallas "
@@ -92,11 +94,10 @@ def main() -> None:
 
     env_params = EnvParams(players_per_team=args.ppt, max_steps=args.max_steps)
     runner_specs = None
-    if args.recurrent:
-        args.algo = "a2c"
-    if (args.normalize_obs or args.normalize_reward) and args.algo != "ppo":
+    normalizing = args.normalize_obs or args.normalize_reward
+    if normalizing and (args.algo != "ppo" or args.recurrent):
         raise SystemExit("--normalize-obs/--normalize-reward are wired "
-                         "into the PPO collect only")
+                         "into the (feedforward) PPO collect only")
     if args.algo == "a2c":
         from . import a2c
 
@@ -129,6 +130,30 @@ def main() -> None:
             )
         else:
             iteration_fn = a2c.train_iteration
+    elif args.recurrent:
+        # Recurrent PPO (VERDICT r4 item 1a): clipped-surrogate epochs
+        # minibatched over the sequence axis, BPTT from the rollout's
+        # initial carry (recurrent_ppo.py).
+        import functools
+
+        from . import a2c
+        from . import recurrent_ppo as rppo
+
+        cfg = rppo.RecurrentPPOConfig(
+            rollout_steps=args.rollout_steps, lr=args.lr,
+            epochs=args.epochs, minibatches=args.minibatches,
+            lr_final=args.lr_final,
+        )
+        tx = rppo.make_optimizer(
+            cfg, total_iters=args.iters if args.lr_anneal else None
+        )
+        iteration_fn = rppo.train_iteration_recurrent_ppo
+        if args.fused_collect:
+            iteration_fn = functools.partial(
+                iteration_fn,
+                collect_fn=a2c.collect_recurrent_rollout_fused,
+            )
+        runner_specs = a2c.recurrent_runner_specs()
     else:
         cfg = PPOConfig(
             rollout_steps=args.rollout_steps, lr=args.lr, epochs=args.epochs,
@@ -141,7 +166,6 @@ def main() -> None:
         )
         from .ppo import train_iteration as iteration_fn
 
-        normalizing = args.normalize_obs or args.normalize_reward
         if normalizing and args.fused_collect and args.no_fused_update:
             raise SystemExit(
                 "normalized fused training folds the frozen stats inside "
