@@ -29,6 +29,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from gym_futbol_tpu.utils.cache import enable_compilation_cache
+
+# The fused recurrent kernel is the slowest Mosaic compile in the repo
+# (~4 min fresh through the remote-compile service); without the
+# persistent cache every gate run pays it again — and looks
+# indistinguishable from a stall to run_all's watchdog.
+enable_compilation_cache()
+
 from gym_futbol_tpu import a2c
 from gym_futbol_tpu import env as env_core
 from gym_futbol_tpu.models.policy import action_log_prob_and_entropy_packed

@@ -70,8 +70,15 @@ from _tunnel import child_env, ensure_parent_unregistered  # noqa: E402
 ensure_parent_unregistered()
 
 CPU_GATES = ["check_env_parity.py", "check_physics_parity.py"]
-TPU_GATES = ["check_fused_actor.py", "check_fused_collect.py",
-             "check_fused_update.py", "check_fused_recurrent.py"]
+# (script, soft-watchdog seconds): thresholds sit well above each gate's
+# legitimate COLD wall time (fresh compile chains through the remote
+# compile service — the recurrent kernel alone is ~4 min), scaled by
+# --soft-timeout/420. Observed r5: a 420 s blanket threshold killed a
+# healthy cold recurrent gate.
+TPU_GATES = [("check_fused_actor.py", 420),
+             ("check_fused_collect.py", 600),
+             ("check_fused_update.py", 600),
+             ("check_fused_recurrent.py", 900)]
 
 
 def _probe_trivial_jit(timeout: int = 240) -> bool:
@@ -134,6 +141,11 @@ def run_gate(script: str, cpu: bool, timeout: int,
                 # the EXACT child PID and retry once on a fresh cache.
                 proc.kill()
                 proc.communicate()
+                # The killed client's exclusive tunnel slot takes a while
+                # to be reclaimed by the pool; a retry launched into that
+                # window can wedge forever in device acquisition
+                # (observed r5). Give the pool time to notice the death.
+                time.sleep(45)
                 fresh = tempfile.mkdtemp(prefix="gft_fresh_")
                 print(f"# WATCHDOG {script}: probe OK => suspected "
                       f"corrupt compile-cache entry; retrying once with "
@@ -203,17 +215,20 @@ def main() -> int:
     ap.add_argument("--timeout", type=int, default=1800,
                     help="per-gate timeout (first TPU compile is slow)")
     ap.add_argument("--soft-timeout", type=int, default=420,
-                    help="kernel-gate watchdog threshold: past this, "
-                         "probe the device and classify corrupt-cache vs "
-                         "service-wedge vs real stall (0 disables)")
+                    help="base kernel-gate watchdog threshold (each gate "
+                         "has its own cold-wall-calibrated threshold, "
+                         "scaled by this/420): past it, probe the device "
+                         "and classify corrupt-cache vs service-wedge vs "
+                         "real stall (0 disables)")
     args = ap.parse_args()
     if args.full:
         args.with_perf = True
         args.with_learning = True
 
     t_start = time.perf_counter()
-    soft = args.soft_timeout or None
-    tpu_gates = [(s, None, soft) for s in TPU_GATES]
+    scale = args.soft_timeout / 420.0 if args.soft_timeout else None
+    tpu_gates = [(s, None, int(st * scale) if scale else None)
+                 for s, st in TPU_GATES]
     if args.with_perf:
         # perf/learning gates legitimately run long (multi-config bench,
         # multi-seed training) — no watchdog, hard timeout only
