@@ -34,12 +34,15 @@ BENCH = os.path.join(os.path.dirname(HERE), "bench.py")
 # (config, floor steps/s, measured-on-v5e reference from BASELINE.md).
 # Every NAMED BASELINE config is gated (config-4 floor: VERDICT r3 weak
 # #2); round-over-round measured history lives in BASELINE.md so slow
-# drift is visible before it reaches a floor.
+# drift is visible before it reaches a floor. Floors recalibrated at r5
+# to 70-73% of the iters=10 measurements (VERDICT r4 weak #1 — the r4
+# floors tracked the retired iters=3 methodology, silently widening the
+# regression margin to ~60%).
 FLOORS = [
-    (3, 47e6, "63.3M fused rollout (r4, hot-form solver)"),
-    (4, 25e6, "35.1M 3v3 PPO collect+GAE (r4)"),
-    (6, 35e6, "49.0M policy-in-kernel self-play (r4)"),
-    (5, 7e6, "9.35M full 5v5 PPO iteration (fused update, r4)"),
+    (3, 55e6, "76.3M fused rollout (r5, iters=10)"),
+    (4, 28e6, "39.7M 3v3 PPO collect+GAE (r5)"),
+    (6, 43e6, "59.3M policy-in-kernel self-play (r5)"),
+    (5, 6.8e6, "9.46M full 5v5 PPO iteration (fused update, r5)"),
 ]
 
 

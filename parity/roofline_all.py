@@ -115,18 +115,22 @@ def time_fused_collect(env_params: EnvParams, hidden, n_envs: int,
     sf, si = pack_state(state, env_params)
     seed = jnp.asarray([1], jnp.int32)
 
-    def once(sf, si, s):
-        out = fused_collect(sf, si, w, s, env_params, n_steps, block=2048)
-        return out[0], out[1], out[8]
-
-    sf2, si2, rew = once(sf, si, seed)
-    jax.device_get(rew[0, :1, :1])
-    sf2, si2, rew = once(sf, si, seed)
-    jax.device_get(rew[0, :1, :1])
+    # jit-wrapped: the eager pallas_call path donates the state inputs
+    # (reuse across timing calls then reads deleted buffers); syncing on
+    # last_value (small [2, nb, 128]) waits for the whole program.
+    once = jax.jit(
+        lambda sf, si, s: fused_collect(
+            sf, si, w, s, env_params, n_steps, block=2048
+        )[9]
+    )
+    lv = once(sf, si, seed)
+    jax.device_get(lv[0, :1, :1])
+    lv = once(sf, si, seed)
+    jax.device_get(lv[0, :1, :1])
     t0 = time.perf_counter()
     for i in range(iters):
-        sf2, si2, rew = once(sf2, si2, jnp.asarray([2 + i], jnp.int32))
-    jax.device_get(rew[0, :1, :1])
+        lv = once(sf, si, jnp.asarray([2 + i], jnp.int32))
+    jax.device_get(lv[0, :1, :1])
     return (time.perf_counter() - t0) / iters
 
 
@@ -144,20 +148,18 @@ def time_fused_selfplay(env_params: EnvParams, hidden, n_envs: int,
     state, _ = reset_batch(jax.random.PRNGKey(0), env_params, n_envs)
     sf, si = pack_state(state, env_params)
 
-    def once(sf, si, s):
-        sf, si, rew, goals = fused_selfplay_rollout(
-            sf, si, wa, wb, jnp.asarray([s], jnp.int32), env_params,
-            n_steps=n_steps, block=1024,
-        )
-        return sf, si, rew
-
-    sf2, si2, rew = once(sf, si, 1)
+    once = jax.jit(
+        lambda sf, si, s: fused_selfplay_rollout(
+            sf, si, wa, wb, s, env_params, n_steps=n_steps, block=1024,
+        )[2]
+    )
+    rew = once(sf, si, jnp.asarray([1], jnp.int32))
     jax.device_get(rew[:1])
-    sf2, si2, rew = once(sf, si, 1)
+    rew = once(sf, si, jnp.asarray([1], jnp.int32))
     jax.device_get(rew[:1])
     t0 = time.perf_counter()
     for i in range(iters):
-        sf2, si2, rew = once(sf2, si2, 2 + i)
+        rew = once(sf, si, jnp.asarray([2 + i], jnp.int32))
     jax.device_get(rew[:1])
     return (time.perf_counter() - t0) / iters
 
@@ -267,22 +269,27 @@ def config5_decomposition(peaks: dict) -> dict:
         f_dim, model.hidden, n_out
     )
     steps = n_envs * n_steps
+    # NOTE on decomposition: standalone-jitted GAE pays a round-trip of
+    # the whole multi-GB Transition pytree through its jit boundary, so
+    # its standalone wall time is NOT its marginal cost inside the full
+    # iteration (where XLA fuses the reverse scan into the pipeline).
+    # The meaningful split is collect + update vs full; gae+optimizer
+    # marginal is the (noise-level) remainder.
     return {
         "metric": "config5_iteration_decomposition",
         "value": round(steps / t_full / 1e6, 2),
         "unit": "M env-steps/s full iteration",
         "phases_ms": {
             "collect": round(t_col * 1e3, 1),
-            "gae": round(t_gae * 1e3, 1),
+            "gae_standalone(see_note)": round(t_gae * 1e3, 1),
             "update_16_minibatches": round(t_upd * 1e3, 1),
             "full_iteration": round(t_full * 1e3, 1),
         },
-        "phase_fractions": {
+        "phase_fractions_of_full": {
             "collect": round(t_col / t_full, 3),
-            "gae": round(t_gae / t_full, 3),
             "update": round(t_upd / t_full, 3),
-            "other(opt/metrics/relayout)": round(
-                max(0.0, (t_full - t_col - t_gae - t_upd) / t_full), 3),
+            "gae+opt+relayout_marginal": round(
+                (t_full - t_col - t_upd) / t_full, 3),
         },
         "update_mxu_utilization": round(upd_flops / t_upd / peaks["mxu"],
                                         4),
