@@ -136,13 +136,19 @@ def main() -> int:
         # jit the WHOLE collect (glue included) — matches how training
         # consumes it (train_iteration_recurrent is one jitted function);
         # eager per-op dispatch through the axon tunnel would otherwise
-        # dominate the measurement.
+        # dominate the measurement. n=20: the per-batch fixed cost
+        # (dispatch pipelining + final tunnel sync) is ~tens of ms — at
+        # n=5 it dominated the ~4-6 ms/iter compute and under-read BOTH
+        # paths 5-7x with 3x run-to-run noise (r5 root-cause of the
+        # retired "fused is 0.55x of jnp" claim; BASELINE.md session 8).
         jfn = jax.jit(lambda r: fn(r, m, p, cfg))
         runner2, traj, lv = jfn(runner)              # compile
+        jax.device_get(jnp.sum(lv))
         for _ in range(2):                           # warm twice (axon)
             runner2, traj, lv = jfn(runner2)
+        jax.device_get(jnp.sum(lv))
         t0 = time.perf_counter()
-        n = 5
+        n = 20
         for _ in range(n):
             runner2, traj, lv = jfn(runner2)
         jax.device_get(jnp.sum(lv))
