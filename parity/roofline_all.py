@@ -96,7 +96,7 @@ def bench_value(config: int, timeout: int = 1800) -> float:
 
 
 def time_fused_collect(env_params: EnvParams, hidden, n_envs: int,
-                       n_steps: int, iters: int = 3) -> float:
+                       n_steps: int, iters: int = 10) -> float:
     """Steady-state seconds per fused_collect kernel call (kernel only,
     no Transition relayout/GAE)."""
     from gym_futbol_tpu.models.policy import ActorCritic, init_params
@@ -135,7 +135,7 @@ def time_fused_collect(env_params: EnvParams, hidden, n_envs: int,
 
 
 def time_fused_selfplay(env_params: EnvParams, hidden, n_envs: int,
-                        n_steps: int, iters: int = 3) -> float:
+                        n_steps: int, iters: int = 10) -> float:
     from gym_futbol_tpu.ops import pack_state
     from gym_futbol_tpu.ops.fused_actor import (
         fused_selfplay_rollout,
@@ -223,7 +223,7 @@ def config5_decomposition(peaks: dict) -> dict:
     runner = init_runner(jax.random.PRNGKey(0), model, env_params, cfg,
                          n_envs=n_envs, tx=tx)
 
-    def timed(fn, *args, iters=3):
+    def timed(fn, *args, iters=10):
         out = fn(*args)
         jax.device_get(jax.tree.leaves(out)[0])
         out = fn(*args)
