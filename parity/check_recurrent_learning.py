@@ -59,6 +59,7 @@ ART_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
 PPT_DEFAULTS = {
     1: {"envs": 4096, "iters": {"a2c": 3000, "ppo": 800}},
     2: {"envs": 8192, "iters": {"a2c": 4000, "ppo": 1000}},
+    3: {"envs": 16384, "iters": {"a2c": 6000, "ppo": 2000}},  # config-4 scale
 }
 
 
@@ -66,7 +67,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", choices=("a2c", "ppo"), default="ppo")
     ap.add_argument("--ppt", type=int, default=2,
-                    help="players per team (1/2 have tuned defaults)")
+                    help="players per team (1/2/3 have tuned defaults; "
+                         "3 runs at the BASELINE config-4 env scale)")
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--envs", type=int, default=None)
