@@ -320,11 +320,16 @@ def main() -> None:
     ap.add_argument("--envs", type=int, default=None)
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--ppt", type=int, default=None)
-    ap.add_argument("--iters", type=int, default=10,
-                    help="timed iterations; the one-time final-sync "
-                         "latency (device_get through the axon tunnel, "
-                         "~40ms) amortizes over this count — 3 understated "
-                         "steady-state throughput by ~20%% at config 3")
+    ap.add_argument("--iters", type=int, default=None,
+                    help="timed iterations (default 10; 40 for config 2, "
+                         "whose ~10ms iterations are small against the "
+                         "per-batch fixed dispatch/sync cost): the "
+                         "one-time final-sync latency (device_get through "
+                         "the axon tunnel, ~40ms) amortizes over this "
+                         "count — 3 understated steady-state throughput "
+                         "by ~20%% at config 3, and 10 read config 2 with "
+                         "~1.7x run-to-run spread (CLAUDE.md timing rule: "
+                         ">=20 iters when per-iter wall < ~50ms)")
     ap.add_argument(
         "--impl", choices=("auto", "fused", "jnp"), default="auto",
         help="rollout implementation for configs 2-3: Pallas fused kernel "
@@ -342,6 +347,8 @@ def main() -> None:
     enable_compilation_cache()
 
     if args.scaling:
+        if args.iters is None:
+            args.iters = 10
         print(json.dumps(bench_scaling(args)))
         return
 
@@ -349,6 +356,8 @@ def main() -> None:
     args.envs = args.envs or preset["envs"]
     args.steps = args.steps or preset["steps"]
     args.ppt = args.ppt or preset["ppt"]
+    if args.iters is None:
+        args.iters = 40 if args.config == 2 else 10
 
     if args.config in (2, 3):
         if args.impl == "jnp":

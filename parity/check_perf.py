@@ -39,7 +39,9 @@ BENCH = os.path.join(os.path.dirname(HERE), "bench.py")
 # floors tracked the retired iters=3 methodology, silently widening the
 # regression margin to ~60%).
 FLOORS = [
-    (2, 9.5e6, "13.4M small-batch fused rollout, 256 envs (r5)"),
+    (2, 11.5e6, "16.6M small-batch fused rollout, 256 envs "
+                 "(r5, iters=40 — at iters=10 the ~10ms iterations read "
+                 "8-13M with 1.7x spread)"),
     (3, 55e6, "76.3M fused rollout (r5, iters=10)"),
     (4, 28e6, "39.7M 3v3 PPO collect+GAE (r5)"),
     (6, 43e6, "59.3M policy-in-kernel self-play (r5)"),
