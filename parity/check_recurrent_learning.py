@@ -60,6 +60,7 @@ PPT_DEFAULTS = {
     1: {"envs": 4096, "iters": {"a2c": 3000, "ppo": 800}},
     2: {"envs": 8192, "iters": {"a2c": 4000, "ppo": 1000}},
     3: {"envs": 16384, "iters": {"a2c": 6000, "ppo": 2000}},  # config-4 scale
+    5: {"envs": 65536, "iters": {"a2c": 6000, "ppo": 2000}},  # config-5 scale
 }
 
 
